@@ -1,0 +1,537 @@
+"""
+Pipeline — the main orchestration entry point.
+
+TPU-native rebuild of the reference Pipeline
+(include/pcr/engine/pipeline.h:49-145, src/engine/pipeline.cpp:31-1403):
+same config surface, ingest/finalize/run lifecycle, per-reduction output
+bands, progress/cancel callback, GPU→CPU fallback ladder, and tile-state
+checkpointing via PCRT files.
+
+Execution modes:
+  * CPU    — vectorized numpy oracle path (engine/cpu_backend.py).
+  * GPU    — the JAX/XLA TPU path (engine/tpu_backend.py). Name kept for
+             API compatibility; `ExecutionMode.TPU` is an alias.
+  * Auto   — TPU if a device is available, else CPU.
+  * Hybrid — host routing + device accumulation. On TPU this is the *same
+             architecture* as GPU mode (the host always does f64 routing;
+             JAX async dispatch overlaps host prep of chunk i+1 with device
+             compute of chunk i), so Hybrid aliases the GPU path
+             (reference: pipeline.cpp:785-1152 hand-builds this overlap).
+
+Differences from the reference, by design:
+  * Multi-reduction ingest shares one world→cell assignment per cloud
+    instead of re-routing per reduction (pipeline.cpp:360-743 re-sorts per
+    reduction) — identical semantics, less work.
+  * Accumulation is deterministic (sort/scatter, no float atomics).
+  * Tile state files are written under a per-reduction subdirectory
+    `red{i}_{type}` — the reference writes all reductions' tiles into one
+    directory with colliding filenames (pipeline.cpp:236 +
+    tile_state_io.cpp:197-210), which corrupts multi-reduction resume.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import time
+import warnings
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from ..core.grid import BandDesc, Grid
+from ..core.grid_config import GridConfig
+from ..core.point_cloud import PointCloud
+from ..core.types import (
+    CRS, DataType, MemoryLocation, PcrError, ReductionType, Status,
+    StatusCode, TileIndex, tpu_device_available,
+)
+from ..io import tile_state_io
+from ..ops.reduction import FLT_MAX, get_reduction_info
+from . import cpu_backend as cpu
+from . import routing
+from .filter import FilterSpec, evaluate_filter_mask
+from .glyph import GLYPH_SUPPORTED_REDUCTIONS, GlyphSpec, GlyphType
+
+__all__ = ["ExecutionMode", "ReductionSpec", "PipelineConfig",
+           "ProgressInfo", "Pipeline"]
+
+
+class ExecutionMode(enum.IntEnum):
+    CPU = 0
+    GPU = 1      # the accelerator path; on this framework that is the TPU
+    Auto = 2
+    Hybrid = 3
+
+
+ExecutionMode.TPU = ExecutionMode.GPU  # type: ignore[attr-defined]
+
+
+@dataclass
+class ReductionSpec:
+    """What to reduce and how (reference: pipeline.h:20-34)."""
+    value_channel: str = ""
+    type: ReductionType = ReductionType.Sum
+    weight_channel: str = ""       # for WeightedAverage
+    timestamp_channel: str = ""    # for MostRecent
+    percentile: float = 0.5        # for Percentile (not yet registered)
+    output_band_name: str = ""
+    glyph: GlyphSpec = dc_field(default_factory=GlyphSpec)
+
+
+@dataclass
+class PipelineConfig:
+    """Full configuration for a processing run (reference: pipeline.h:49-86)."""
+    grid: GridConfig = dc_field(default_factory=GridConfig)
+    reductions: list = dc_field(default_factory=list)
+    filter: FilterSpec = dc_field(default_factory=FilterSpec)
+
+    # CRS handling
+    target_crs: CRS = dc_field(default_factory=CRS)
+    auto_reproject: bool = True
+
+    exec_mode: ExecutionMode = ExecutionMode.Auto
+
+    # Memory budget
+    gpu_memory_budget: int = 0
+    host_cache_budget: int = 0
+    chunk_size: int = 0            # points per device chunk, 0 = auto
+
+    # Accelerator configuration (names kept for reference compatibility)
+    gpu_pool_size_bytes: int = 512 * 1024 * 1024
+    cuda_device_id: int = 0        # TPU device index here
+    use_cuda_streams: bool = True  # async dispatch is always on in JAX
+    gpu_fallback_to_cpu: bool = True
+    gpu_require_strict: bool = False
+
+    # CPU threading (numpy path is vectorized; kept for API compatibility)
+    cpu_threads: int = 0
+    hybrid_cpu_threads: int = 0
+
+    # State persistence
+    state_dir: str = ""
+    resume: bool = False
+
+    # GeoTIFF output
+    output_path: str = ""
+    write_cog: bool = False
+
+
+@dataclass
+class ProgressInfo:
+    collections_processed: int = 0
+    collections_total: int = 0     # 0 if unknown (streaming mode)
+    points_processed: int = 0
+    tiles_active: int = 0
+    elapsed_seconds: float = 0.0
+
+
+def _force_jax() -> bool:
+    """Test hook: treat the default JAX device (even CPU) as an accelerator,
+    so the device code path can be exercised without TPU hardware."""
+    return os.environ.get("PCR_FORCE_JAX", "") == "1"
+
+
+class Pipeline:
+    """Create with `Pipeline.create(config)`, then `ingest(cloud)` one or
+    more times, then `finalize()`; read back via `result()`."""
+
+    def __init__(self, config: PipelineConfig, backend: str):
+        self.config = config
+        self._backend = backend           # 'cpu' | 'jax'
+        self._plans = []                  # list of (spec, info)
+        self._host_state = []             # CPU mode: per spec list[(H,W)]
+        self._engine = None               # jax mode: TpuEngine
+        self._result: Grid | None = None
+        self._finalized = False
+        self._cancelled = False
+        self._progress_cb = None
+        self._collections = 0
+        self._points = 0
+        self._start = time.perf_counter()
+        self._touched_tiles: set = set()
+
+    # -- construction --------------------------------------------------------
+
+    @staticmethod
+    def create(config: PipelineConfig) -> "Pipeline":
+        st = Pipeline._validate_config(config)
+        if not st.ok():
+            raise PcrError(st)
+        backend = Pipeline._resolve_backend(config)
+        p = Pipeline(config, backend)
+        for spec in config.reductions:
+            info = get_reduction_info(spec.type)
+            if info is None:
+                raise PcrError(Status.error(
+                    StatusCode.InvalidArgument,
+                    f"pipeline: unregistered reduction type "
+                    f"{ReductionType(spec.type).name}"))
+            gt = GlyphType(spec.glyph.type)
+            if (gt != GlyphType.Point
+                    and ReductionType(spec.type) not in GLYPH_SUPPORTED_REDUCTIONS):
+                raise PcrError(Status.error(
+                    StatusCode.NotImplemented,
+                    "glyph splatting only supports WeightedAverage, Average, "
+                    "Sum, or Count reduction types"))
+            p._plans.append((spec, info))
+        p._init_state()
+        p._load_existing_state()
+        return p
+
+    @staticmethod
+    def _validate_config(config: PipelineConfig) -> Status:
+        st = config.grid.validate()
+        if not st.ok():
+            return st
+        if not config.reductions:
+            return Status.error(StatusCode.InvalidArgument,
+                                "pipeline: no reductions configured")
+        return Status.success()
+
+    @staticmethod
+    def _resolve_backend(config: PipelineConfig) -> str:
+        mode = ExecutionMode(config.exec_mode)
+        accel = tpu_device_available() or _force_jax()
+        if mode == ExecutionMode.CPU:
+            return "cpu"
+        if mode == ExecutionMode.Auto:
+            return "jax" if accel else "cpu"
+        # GPU / Hybrid: the fallback ladder (reference: pipeline.cpp:113-214)
+        if accel:
+            return "jax"
+        if config.gpu_require_strict:
+            raise PcrError(Status.error(
+                StatusCode.TpuError,
+                "pipeline: TPU required (strict mode) but no device available"))
+        if config.gpu_fallback_to_cpu:
+            warnings.warn("pcr_tpu: no TPU device available, "
+                          "falling back to CPU execution")
+            return "cpu"
+        raise PcrError(Status.error(
+            StatusCode.TpuError,
+            "pipeline: no TPU device available and fallback disabled"))
+
+    def _init_state(self):
+        cfg = self.config.grid
+        if self._backend == "cpu":
+            for spec, info in self._plans:
+                self._host_state.append(
+                    info.init_state((cfg.height, cfg.width)))
+        else:
+            from .tpu_backend import TpuEngine
+            import jax
+            devs = jax.devices()
+            idx = min(self.config.cuda_device_id, len(devs) - 1)
+            self._engine = TpuEngine(cfg, self._plans, device=devs[idx])
+
+    # -- state persistence ------------------------------------------------------
+
+    def _state_dir_for(self, spec_idx: int) -> str:
+        base = self.config.state_dir or "/tmp/pcr_tiles"
+        spec, _ = self._plans[spec_idx]
+        return os.path.join(base, f"red{spec_idx}_{int(spec.type)}")
+
+    def _load_existing_state(self):
+        """Resume: load any existing PCRT tile files (the reference's
+        TileManager loads existing files implicitly on acquire,
+        tile_manager.cpp:272-302 — the `resume` flag is declared but never
+        read there; we honor the same implicit behaviour)."""
+        cfg = self.config.grid
+        for i, (spec, info) in enumerate(self._plans):
+            d = self._state_dir_for(i)
+            if not os.path.isdir(d):
+                continue
+            fields = (self._host_state[i] if self._backend == "cpu"
+                      else self._engine.fetch_state(i))
+            loaded = False
+            for trow in range(cfg.tiles_y):
+                for tcol in range(cfg.tiles_x):
+                    tile = TileIndex(row=trow, col=tcol)
+                    path = tile_state_io.tile_state_filename(d, tile)
+                    if not os.path.exists(path):
+                        continue
+                    out, st = tile_state_io.read_tile_state(path)
+                    if not st.ok():
+                        # corrupt/mismatched state: reinitialize to identity
+                        # (reference: tile_manager.cpp:280-320)
+                        continue
+                    t, cols, rows, sf, rtype = out[:5]
+                    state = out[5]
+                    cs, rs, cc, rc = cfg.tile_cell_range(tile)
+                    if (cols != cc or rows != rc or sf != info.state_floats
+                            or ReductionType(rtype) != ReductionType(spec.type)):
+                        continue
+                    body = state.reshape(sf, rows, cols)
+                    for f in range(sf):
+                        fields[f][rs:rs + rc, cs:cs + cc] = body[f]
+                    loaded = True
+                    self._touched_tiles.add((trow, tcol))
+            if loaded and self._backend == "jax":
+                self._engine.load_state(i, fields)
+
+    def _flush_state(self):
+        """Write every touched tile's state as a PCRT file (flush_all,
+        reference: tile_manager.cpp:416-426 + pipeline.cpp:1166-1172)."""
+        cfg = self.config.grid
+        for i, (spec, info) in enumerate(self._plans):
+            d = self._state_dir_for(i)
+            os.makedirs(d, exist_ok=True)
+            fields = (self._host_state[i] if self._backend == "cpu"
+                      else self._engine.fetch_state(i))
+            for (trow, tcol) in sorted(self._all_tiles()):
+                tile = TileIndex(row=trow, col=tcol)
+                cs, rs, cc, rc = cfg.tile_cell_range(tile)
+                body = np.stack([f[rs:rs + rc, cs:cs + cc] for f in fields])
+                st = tile_state_io.write_tile_state(
+                    tile_state_io.tile_state_filename(d, tile),
+                    tile, cc, rc, info.state_floats, spec.type, body)
+                if not st.ok():
+                    raise PcrError(st)
+
+    def _all_tiles(self):
+        cfg = self.config.grid
+        return [(r, c) for r in range(cfg.tiles_y) for c in range(cfg.tiles_x)]
+
+    # -- validation -------------------------------------------------------------
+
+    def validate(self) -> None:
+        st = Pipeline._validate_config(self.config)
+        if not st.ok():
+            raise PcrError(st)
+
+    # -- ingest -----------------------------------------------------------------
+
+    def ingest(self, cloud: PointCloud) -> None:
+        """Process one point-cloud collection. Can be called repeatedly.
+
+        Raises PcrError on invalid input or user cancellation
+        (reference: pipeline.cpp:283-770).
+        """
+        if self._cancelled:
+            raise PcrError(Status.error(StatusCode.InvalidArgument,
+                                        "pipeline: cancelled by user"))
+        n = cloud.count()
+        x = cloud.x_array()
+        y = cloud.y_array()
+
+        # Filter (AND-combined predicates; empty spec passes all)
+        if not self.config.filter.empty():
+            keep = evaluate_filter_mask(cloud, self.config.filter)
+        else:
+            keep = None
+
+        # One shared assignment for all reductions
+        col, row, valid = routing.assign(self.config.grid, x, y)
+        if keep is not None:
+            valid = valid & keep
+
+        for i, (spec, info) in enumerate(self._plans):
+            self._ingest_spec(i, spec, info, cloud, x, y, col, row, valid)
+
+        self._track_tiles(col[valid], row[valid])
+        self._points += int(np.count_nonzero(valid))
+        self._collections += 1
+        self._emit_progress()
+
+    def _values_for(self, spec: ReductionSpec, cloud: PointCloud,
+                    n: int) -> np.ndarray:
+        if spec.value_channel and cloud.has_channel(spec.value_channel):
+            return cloud.channel_array_f32(spec.value_channel)
+        if ReductionType(spec.type) == ReductionType.Count:
+            # Count ignores the value; allow missing channel
+            return np.zeros(n, dtype=np.float32)
+        raise PcrError(Status.error(
+            StatusCode.InvalidArgument,
+            f"pipeline: value channel {spec.value_channel!r} not found"))
+
+    def _ingest_spec(self, i, spec, info, cloud, x, y, col, row, valid):
+        cfg = self.config.grid
+        n = cloud.count()
+        values = self._values_for(spec, cloud, n)
+        weights = None
+        if info.uses_weight and spec.weight_channel:
+            if not cloud.has_channel(spec.weight_channel):
+                raise PcrError(Status.error(
+                    StatusCode.InvalidArgument,
+                    f"pipeline: weight channel {spec.weight_channel!r} "
+                    f"not found"))
+            weights = cloud.channel_array_f32(spec.weight_channel)
+        timestamps = None
+        if info.uses_timestamp:
+            if spec.timestamp_channel and cloud.has_channel(spec.timestamp_channel):
+                timestamps = cloud.channel_array_f32(spec.timestamp_channel)
+            else:
+                # Fallback: ingestion order (later collections win).
+                # The reference leaves MostRecent unregistered; with no
+                # timestamp the strict-> combine would never replace, so
+                # ingest order is the useful interpretation.
+                timestamps = np.arange(
+                    self._points, self._points + n, dtype=np.float32)
+
+        gt = GlyphType(spec.glyph.type)
+        if self._backend == "cpu":
+            self._ingest_cpu(i, spec, info, gt, cloud, x, y, col, row, valid,
+                             values, weights, timestamps)
+        else:
+            self._ingest_jax(i, spec, info, gt, cloud, x, y, col, row, valid,
+                             values, weights, timestamps)
+
+    # -- CPU path ---------------------------------------------------------------
+
+    def _ingest_cpu(self, i, spec, info, gt, cloud, x, y, col, row, valid,
+                    values, weights, timestamps):
+        cfg = self.config.grid
+        state = self._host_state[i]
+        v = valid
+        if gt == GlyphType.Point:
+            flat = (row[v].astype(np.int64) * cfg.width
+                    + col[v].astype(np.int64))
+            st = cpu.accumulate_point_cpu(
+                info, state, flat, values[v],
+                weights[v] if weights is not None else None,
+                timestamps[v] if timestamps is not None else None)
+        elif gt == GlyphType.Gaussian:
+            st = cpu.accumulate_gaussian_cpu(
+                spec.glyph, spec.type, cfg, state, x[v], y[v], values[v],
+                routing.glyph_channel(cloud, spec.glyph.sigma_x_channel)[v]
+                if routing.glyph_channel(cloud, spec.glyph.sigma_x_channel)
+                is not None else None,
+                routing.glyph_channel(cloud, spec.glyph.sigma_y_channel)[v]
+                if routing.glyph_channel(cloud, spec.glyph.sigma_y_channel)
+                is not None else None,
+                routing.glyph_channel(cloud, spec.glyph.rotation_channel)[v]
+                if routing.glyph_channel(cloud, spec.glyph.rotation_channel)
+                is not None else None,
+                col[v], row[v])
+        elif gt == GlyphType.Line:
+            st = cpu.accumulate_line_cpu(
+                spec.glyph, spec.type, cfg, state, x[v], y[v], values[v],
+                routing.glyph_channel(cloud, spec.glyph.direction_channel)[v]
+                if routing.glyph_channel(cloud, spec.glyph.direction_channel)
+                is not None else None,
+                routing.glyph_channel(cloud, spec.glyph.half_length_channel)[v]
+                if routing.glyph_channel(cloud, spec.glyph.half_length_channel)
+                is not None else None,
+                col[v], row[v])
+        else:
+            st = Status.error(StatusCode.NotImplemented,
+                              f"unknown glyph type {gt}")
+        if not st.ok():
+            raise PcrError(st)
+
+    # -- JAX path ---------------------------------------------------------------
+
+    def _ingest_jax(self, i, spec, info, gt, cloud, x, y, col, row, valid,
+                    values, weights, timestamps):
+        cfg = self.config.grid
+        eng = self._engine
+        if gt == GlyphType.Point:
+            cells = (row.astype(np.int64) * cfg.width
+                     + col.astype(np.int64)).astype(np.int32)
+            eng.ingest_point(i, cells, valid, values, weights, timestamps)
+            return
+        col_s, row_s, col_e, row_e = routing.home_tile_ranges(cfg, col, row)
+        if gt == GlyphType.Gaussian:
+            gp = routing.gaussian_params(
+                spec.glyph, cfg, x, y,
+                routing.glyph_channel(cloud, spec.glyph.sigma_x_channel),
+                routing.glyph_channel(cloud, spec.glyph.sigma_y_channel),
+                routing.glyph_channel(cloud, spec.glyph.rotation_channel))
+            eng.ingest_gaussian(
+                i, icx=gp.icx, icy=gp.icy, sub_cx=gp.sub_cx,
+                sub_cy=gp.sub_cy, sx=gp.sx, sy=gp.sy, cos_rot=gp.cos_rot,
+                sin_rot=gp.sin_rot, r=gp.r, valid=valid, values=values,
+                col_s=col_s, col_e=col_e, row_s=row_s, row_e=row_e,
+                rotated=gp.rotated)
+        elif gt == GlyphType.Line:
+            lp = routing.line_params(
+                spec.glyph, cfg, x, y,
+                routing.glyph_channel(cloud, spec.glyph.direction_channel),
+                routing.glyph_channel(cloud, spec.glyph.half_length_channel))
+            eng.ingest_line(
+                i, ix0=lp.ix0, iy0=lp.iy0, ix1=lp.ix1, iy1=lp.iy1,
+                valid=valid, values=values,
+                col_s=col_s, col_e=col_e, row_s=row_s, row_e=row_e,
+                max_steps=lp.max_steps)
+        else:
+            raise PcrError(Status.error(StatusCode.NotImplemented,
+                                        f"unknown glyph type {gt}"))
+
+    # -- bookkeeping -------------------------------------------------------------
+
+    def _track_tiles(self, col, row):
+        cfg = self.config.grid
+        if len(col) == 0:
+            return
+        t = np.unique((row.astype(np.int64) // cfg.tile_height)
+                      * cfg.tiles_x
+                      + (col.astype(np.int64) // cfg.tile_width))
+        for ti in t:
+            self._touched_tiles.add(
+                (int(ti) // cfg.tiles_x, int(ti) % cfg.tiles_x))
+
+    def _emit_progress(self):
+        if self._progress_cb is None:
+            return
+        info = self.stats()
+        if not self._progress_cb(info):
+            self._cancelled = True
+            raise PcrError(Status.error(StatusCode.InvalidArgument,
+                                        "pipeline: cancelled by user"))
+
+    # -- finalize ----------------------------------------------------------------
+
+    def finalize(self) -> None:
+        """Flush tile state, assemble the result Grid, write GeoTIFF output
+        (reference: pipeline.cpp:1154-1363)."""
+        if self._engine is not None:
+            self._engine.block_until_ready()
+        if self.config.state_dir:
+            self._flush_state()
+
+        cfg = self.config.grid
+        bands = []
+        for spec, _ in self._plans:
+            name = (spec.output_band_name
+                    or f"{spec.value_channel}_{int(spec.type)}")
+            bands.append(BandDesc(name=name, dtype=DataType.Float32,
+                                  is_state=False))
+        grid = Grid.create(cfg.width, cfg.height, bands, MemoryLocation.Host)
+        for i, (spec, info) in enumerate(self._plans):
+            fields = (self._host_state[i] if self._backend == "cpu"
+                      else self._engine.fetch_state(i))
+            band = info.finalize_arrays(fields)
+            grid.set_band_array(i, np.asarray(band, dtype=np.float32))
+        self._result = grid
+        self._finalized = True
+
+        if self.config.output_path:
+            from ..io.geotiff import GeoTiffOptions, write_geotiff
+            opts = GeoTiffOptions(cloud_optimized=self.config.write_cog)
+            st = write_geotiff(self.config.output_path, grid, cfg, opts)
+            if not st.ok():
+                raise PcrError(st)
+
+    # -- convenience ----------------------------------------------------------------
+
+    def run(self, clouds) -> None:
+        for c in clouds:
+            self.ingest(c)
+        self.finalize()
+
+    def set_progress_callback(self, cb) -> None:
+        self._progress_cb = cb
+
+    def result(self) -> Grid | None:
+        """The finalized grid (None before finalize())."""
+        return self._result if self._finalized else None
+
+    def stats(self) -> ProgressInfo:
+        return ProgressInfo(
+            collections_processed=self._collections,
+            collections_total=0,
+            points_processed=self._points,
+            tiles_active=len(self._touched_tiles),
+            elapsed_seconds=time.perf_counter() - self._start,
+        )

@@ -1,0 +1,168 @@
+"""
+Routing — host-side per-point preparation shared by the CPU oracle and the
+TPU engine.
+
+The reference's TileRouter (tile_router.cpp:89-122 assign, :138-240 sort,
+:253-366 extract_batches) routes points to tiles and sorts them so atomics
+contend less. On TPU, scatter is contention-free, so routing reduces to the
+light per-point math — done here on the host in float64 (geo precision) with
+float32 derived quantities exactly where the reference uses float:
+
+  * assign: world→cell floor+clamp+valid (grid_config.cpp:24-43)
+  * Gaussian params: fractional cell, sub-cell offset, signed cell-unit
+    sigmas, rotation trig, radius (glyph_kernels.cu:119-143)
+  * Line endpoints: capped signed half-lengths, round-half-away endpoints
+    (glyph_kernels.cu:219-250)
+  * home-tile clip ranges (the reference clips glyph footprints to the
+    point's home tile via per-tile batches)
+
+The TPU device then only ever sees int32 cells and float32 payloads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.grid_config import GridConfig
+from .glyph import GlyphSpec
+
+__all__ = ["assign", "gaussian_params", "line_params", "home_tile_ranges",
+           "glyph_channel"]
+
+
+def home_tile_ranges(cfg: GridConfig, col: np.ndarray, row: np.ndarray):
+    """Per-point home-tile cell ranges (edge-clamped); end-exclusive."""
+    tcol = col // cfg.tile_width
+    trow = row // cfg.tile_height
+    col_start = (tcol * cfg.tile_width).astype(np.int32)
+    row_start = (trow * cfg.tile_height).astype(np.int32)
+    col_end = np.minimum(col_start + cfg.tile_width, cfg.width).astype(np.int32)
+    row_end = np.minimum(row_start + cfg.tile_height, cfg.height).astype(np.int32)
+    return col_start, row_start, col_end, row_end
+
+
+def assign(cfg: GridConfig, x: np.ndarray, y: np.ndarray):
+    """world→cell assignment. Returns (col, row, valid)."""
+    return cfg.world_to_cell_array(x, y)
+
+
+def glyph_channel(cloud, name: str):
+    """Fetch a per-point glyph channel as float32, or None if unset/absent
+    (reference: pipeline.cpp glyph channel copies — missing channels fall
+    back to GlyphSpec defaults)."""
+    if not name or not cloud.has_channel(name):
+        return None
+    return cloud.channel_array_f32(name)
+
+
+@dataclass
+class GaussianParams:
+    icx: np.ndarray        # int32 center cell (unclamped floor of fcx)
+    icy: np.ndarray
+    sub_cx: np.ndarray     # float32 sub-cell offsets
+    sub_cy: np.ndarray
+    sx: np.ndarray         # float32 signed cell-unit sigma (sy < 0 north-up)
+    sy: np.ndarray
+    cos_rot: np.ndarray    # float32 cos(-rot), sin(-rot)
+    sin_rot: np.ndarray
+    r: np.ndarray          # int32 per-point radius
+    rotated: bool          # any nonzero rotation in this batch
+
+
+def gaussian_params(spec: GlyphSpec, cfg: GridConfig,
+                    x: np.ndarray, y: np.ndarray,
+                    sigma_x: np.ndarray | None,
+                    sigma_y: np.ndarray | None,
+                    rotation: np.ndarray | None) -> GaussianParams:
+    n = len(x)
+    inv_csx = 1.0 / cfg.cell_size_x
+    inv_csy = 1.0 / cfg.cell_size_y
+    fcx, fcy = cfg.fractional_cell_array(x, y)
+    icx = np.floor(fcx)
+    icy = np.floor(fcy)
+    sub_cx = (fcx - icx).astype(np.float32)
+    sub_cy = (fcy - icy).astype(np.float32)
+
+    if sigma_x is not None:
+        sxw = np.where(sigma_x > 0.0, sigma_x,
+                       np.float32(spec.default_sigma_x)).astype(np.float32)
+    else:
+        sxw = np.full(n, spec.default_sigma_x, dtype=np.float32)
+    if sigma_y is not None:
+        syw = np.where(sigma_y > 0.0, sigma_y,
+                       np.float32(spec.default_sigma_y)).astype(np.float32)
+    else:
+        syw = np.full(n, spec.default_sigma_y, dtype=np.float32)
+
+    # Signed cell-unit sigmas. Reference-parity quirk: sy = sigma_y *
+    # inv_cell_size_y is negative for north-up grids, so the radius
+    # R = 3 * max(sx, sy) is driven by sx (glyph_kernels.cu:126-134).
+    sx = sxw * np.float32(inv_csx)
+    sy = syw * np.float32(inv_csy)
+
+    rot = (np.asarray(rotation, dtype=np.float32) if rotation is not None
+           else np.full(n, spec.default_rotation, dtype=np.float32))
+    cos_rot = np.cos(-rot).astype(np.float32)
+    sin_rot = np.sin(-rot).astype(np.float32)
+
+    R = np.minimum(np.float32(3.0) * np.maximum(sx, sy),
+                   np.float32(spec.max_radius_cells)).astype(np.float32)
+    r = np.ceil(R).astype(np.int32)
+
+    rotated = bool(np.any(rot != 0.0))
+    return GaussianParams(
+        icx=icx.astype(np.int32), icy=icy.astype(np.int32),
+        sub_cx=sub_cx, sub_cy=sub_cy, sx=sx, sy=sy,
+        cos_rot=cos_rot, sin_rot=sin_rot, r=r, rotated=rotated)
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """C++ std::round semantics (round half away from zero)."""
+    return np.where(x >= 0.0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+@dataclass
+class LineParams:
+    ix0: np.ndarray
+    iy0: np.ndarray
+    ix1: np.ndarray
+    iy1: np.ndarray
+    max_steps: int          # global bound: max over points of 2(ddx+ddy)+2
+
+
+def line_params(spec: GlyphSpec, cfg: GridConfig,
+                x: np.ndarray, y: np.ndarray,
+                direction: np.ndarray | None,
+                half_length: np.ndarray | None) -> LineParams:
+    n = len(x)
+    inv_csx = 1.0 / cfg.cell_size_x
+    inv_csy = 1.0 / cfg.cell_size_y
+    fcx, fcy = cfg.fractional_cell_array(x, y)
+    dirs = (np.asarray(direction, dtype=np.float32) if direction is not None
+            else np.full(n, spec.default_direction, dtype=np.float32))
+    hl = (np.asarray(half_length, dtype=np.float32) if half_length is not None
+          else np.full(n, spec.default_half_length, dtype=np.float32))
+    cap = np.float32(spec.max_radius_cells)
+    # Signed cell-unit half lengths; hy < 0 for north-up grids and
+    # min(negative, cap) keeps it negative (glyph_kernels.cu:229-236).
+    hx = np.minimum(hl * np.float32(inv_csx), cap)
+    hy = np.minimum(hl * np.float32(inv_csy), cap)
+    cos_d = np.cos(dirs).astype(np.float32)
+    sin_d = np.sin(dirs).astype(np.float32)
+    # CPU reference keeps fcx/fcy double through the endpoint math
+    x0 = fcx - hx.astype(np.float64) * cos_d.astype(np.float64)
+    y0 = fcy - hy.astype(np.float64) * sin_d.astype(np.float64)
+    x1 = fcx + hx.astype(np.float64) * cos_d.astype(np.float64)
+    y1 = fcy + hy.astype(np.float64) * sin_d.astype(np.float64)
+    ix0 = _round_half_away(x0).astype(np.int64)
+    iy0 = _round_half_away(y0).astype(np.int64)
+    ix1 = _round_half_away(x1).astype(np.int64)
+    iy1 = _round_half_away(y1).astype(np.int64)
+    ddx = np.abs(ix1 - ix0)
+    ddy = np.abs(iy1 - iy0)
+    max_steps = int((2 * (ddx + ddy) + 2).max()) if n else 0
+    return LineParams(ix0=ix0.astype(np.int32), iy0=iy0.astype(np.int32),
+                      ix1=ix1.astype(np.int32), iy1=iy1.astype(np.int32),
+                      max_steps=max_steps)

@@ -1,0 +1,301 @@
+"""
+Reduction ops — the op algebra and type-erased registry.
+
+TPU-native rebuild of the reference ops layer
+(include/pcr/ops/reduction_op.h:17-51, include/pcr/ops/builtin_ops.h:10-183,
+include/pcr/ops/reduction_registry.h:31-80).
+
+An op is defined by: State (K float fields per cell, band-sequential layout
+state[f, cell]), identity, combine(state, value[, weight/timestamp]),
+merge(state_a, state_b), finalize(state)->float. All builtin merges are
+associative+commutative, which is what makes the framework's deterministic
+sort/segment-reduce and multi-chip psum-style tree merges valid.
+
+Instead of the reference's per-point function-pointer loop, every op here
+additionally carries a *vectorized plan*:
+
+  * ``fields(values, weights, timestamps)`` maps N points to an (K, N) field
+    matrix of per-point state contributions,
+  * ``scatter_kind`` says how fields fold per cell: 'sum' (Sum/Count/Average/
+    WeightedAverage — matmul-scatter on the MXU), 'max'/'min' (sort +
+    segment-reduce), 'argmax_ts' (MostRecent: lexicographic max on
+    (timestamp, value)),
+  * ``merge_arrays`` / ``finalize_arrays`` are whole-grid vectorized
+    equivalents of merge/finalize.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import numpy as np
+
+from ..core.types import ReductionType, Status, StatusCode
+
+__all__ = [
+    "FLT_MAX", "ReductionOp", "ReductionInfo", "get_reduction_info",
+    "registered_reductions", "is_registered",
+]
+
+FLT_MAX = float(np.finfo(np.float32).max)
+
+
+# ---------------------------------------------------------------------------
+# Scalar op algebra (reference: builtin_ops.h)
+#
+# States are tuples of floats; combine takes (state, value) with optional
+# weight/timestamp keyword for the weighted/timestamped variants
+# (builtin_ops.h:91-93, :114-116).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ReductionOp:
+    type: ReductionType
+    state_floats: int
+    identity: tuple
+    combine: Callable            # (state, value, **kw) -> state
+    merge: Callable              # (state_a, state_b) -> state
+    finalize: Callable           # (state) -> float
+
+
+def _sum_combine(s, v, **kw):
+    return (s[0] + v,)
+
+
+def _max_combine(s, v, **kw):
+    return (max(s[0], v),)
+
+
+def _min_combine(s, v, **kw):
+    return (min(s[0], v),)
+
+
+def _count_combine(s, v, **kw):
+    return (s[0] + 1.0,)
+
+
+def _avg_combine(s, v, **kw):
+    return (s[0] + v, s[1] + 1.0)
+
+
+def _wavg_combine(s, v, weight=1.0, **kw):
+    return (s[0] + v * weight, s[1] + weight)
+
+
+def _mostrecent_combine(s, v, timestamp=None, **kw):
+    ts = -FLT_MAX if timestamp is None else timestamp
+    return (v, ts) if ts > s[1] else s
+
+
+def _add2(a, b):
+    return (a[0] + b[0], a[1] + b[1])
+
+
+_OPS = {
+    ReductionType.Sum: ReductionOp(
+        ReductionType.Sum, 1, (0.0,), _sum_combine,
+        lambda a, b: (a[0] + b[0],), lambda s: s[0]),
+    ReductionType.Max: ReductionOp(
+        ReductionType.Max, 1, (-FLT_MAX,), _max_combine,
+        lambda a, b: (max(a[0], b[0]),),
+        lambda s: float("nan") if s[0] == -FLT_MAX else s[0]),
+    ReductionType.Min: ReductionOp(
+        ReductionType.Min, 1, (FLT_MAX,), _min_combine,
+        lambda a, b: (min(a[0], b[0]),),
+        lambda s: float("nan") if s[0] == FLT_MAX else s[0]),
+    ReductionType.Count: ReductionOp(
+        ReductionType.Count, 1, (0.0,), _count_combine,
+        lambda a, b: (a[0] + b[0],),
+        lambda s: s[0] if s[0] > 0.0 else float("nan")),
+    ReductionType.Average: ReductionOp(
+        ReductionType.Average, 2, (0.0, 0.0), _avg_combine, _add2,
+        lambda s: s[0] / s[1] if s[1] > 0.0 else float("nan")),
+    ReductionType.WeightedAverage: ReductionOp(
+        ReductionType.WeightedAverage, 2, (0.0, 0.0), _wavg_combine, _add2,
+        lambda s: s[0] / s[1] if s[1] > 0.0 else float("nan")),
+    ReductionType.MostRecent: ReductionOp(
+        ReductionType.MostRecent, 2, (float("nan"), -FLT_MAX),
+        _mostrecent_combine,
+        lambda a, b: a if a[1] >= b[1] else b,
+        lambda s: s[0]),
+}
+
+
+# ---------------------------------------------------------------------------
+# Vectorized plans
+# ---------------------------------------------------------------------------
+
+def _ones_like(values):
+    # Works for numpy and jax arrays without importing jax here.
+    return values * 0.0 + 1.0
+
+
+def _fields_sum(values, weights, timestamps):
+    return [values]
+
+
+def _fields_count(values, weights, timestamps):
+    return [_ones_like(values)]
+
+
+def _fields_avg(values, weights, timestamps):
+    return [values, _ones_like(values)]
+
+
+def _fields_wavg(values, weights, timestamps):
+    w = _ones_like(values) if weights is None else weights
+    return [values * w, w]
+
+
+def _fields_minmax(values, weights, timestamps):
+    return [values]
+
+
+def _fields_mostrecent(values, weights, timestamps):
+    ts = (values * 0.0 - FLT_MAX) if timestamps is None else timestamps
+    return [values, ts]
+
+
+def _fin_sum(state):
+    return state[0]
+
+
+def _xp(arr):
+    """numpy-or-jnp module for arr."""
+    if isinstance(arr, np.ndarray):
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
+def _fin_max_arrays(state):
+    s = state[0]
+    xp = _xp(s)
+    return xp.where(s == np.float32(-FLT_MAX), np.float32(np.nan), s)
+
+
+def _fin_min_arrays(state):
+    s = state[0]
+    xp = _xp(s)
+    return xp.where(s == np.float32(FLT_MAX), np.float32(np.nan), s)
+
+
+def _fin_count_arrays(state):
+    s = state[0]
+    xp = _xp(s)
+    return xp.where(s > 0.0, s, np.float32(np.nan))
+
+
+def _fin_avg_arrays(state):
+    s, c = state[0], state[1]
+    xp = _xp(s)
+    # Guard the division to avoid 0/0 warnings on the numpy path.
+    denom = xp.where(c > 0.0, c, np.float32(1.0))
+    return xp.where(c > 0.0, s / denom, np.float32(np.nan))
+
+
+def _fin_mostrecent_arrays(state):
+    return state[0]
+
+
+def _merge_add(a, b):
+    return [a[i] + b[i] for i in range(len(a))]
+
+
+def _merge_max(a, b):
+    xp = _xp(a[0])
+    return [xp.maximum(a[0], b[0])]
+
+
+def _merge_min(a, b):
+    xp = _xp(a[0])
+    return [xp.minimum(a[0], b[0])]
+
+
+def _merge_mostrecent(a, b):
+    # a wins ties (builtin_ops.h:118-120: a.timestamp >= b.timestamp → a)
+    xp = _xp(a[0])
+    take_a = a[1] >= b[1]
+    return [xp.where(take_a, a[0], b[0]), xp.where(take_a, a[1], b[1])]
+
+
+# ---------------------------------------------------------------------------
+# ReductionInfo — type-erased registry entry
+# (reference: reduction_registry.h:31-80)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ReductionInfo:
+    type: ReductionType
+    state_floats: int
+    op: ReductionOp
+    # identity per state field, float32
+    identity: np.ndarray
+    # 'sum' | 'max' | 'min' | 'argmax_ts'
+    scatter_kind: str
+    # (values, weights, timestamps) -> list of K per-point field arrays
+    fields: Callable
+    # vectorized merge: (list[K arrays], list[K arrays]) -> list[K arrays]
+    merge_arrays: Callable
+    # vectorized finalize: list[K arrays] -> array
+    finalize_arrays: Callable
+    # whether the op consumes a weight channel / timestamp channel
+    uses_weight: bool = False
+    uses_timestamp: bool = False
+
+    def init_state(self, shape) -> list[np.ndarray]:
+        """Fresh state arrays (numpy, float32) of the given per-field shape,
+        filled with the identity (reference: registry.cpp:28-40)."""
+        return [np.full(shape, self.identity[f], dtype=np.float32)
+                for f in range(self.state_floats)]
+
+
+_REGISTRY: dict[ReductionType, ReductionInfo] = {}
+
+
+def _register(rtype, scatter_kind, fields, merge_arrays, finalize_arrays,
+              uses_weight=False, uses_timestamp=False):
+    op = _OPS[rtype]
+    _REGISTRY[rtype] = ReductionInfo(
+        type=rtype,
+        state_floats=op.state_floats,
+        op=op,
+        identity=np.asarray(op.identity, dtype=np.float32),
+        scatter_kind=scatter_kind,
+        fields=fields,
+        merge_arrays=merge_arrays,
+        finalize_arrays=finalize_arrays,
+        uses_weight=uses_weight,
+        uses_timestamp=uses_timestamp,
+    )
+
+
+# Registered ops. The reference registers Sum/Max/Min/Count/Average/
+# WeightedAverage (registry.cpp:174-186) and leaves MostRecent TODO; this
+# build also registers MostRecent (the sort/segment design handles it
+# cleanly as a lexicographic (timestamp, value) max — and deterministically,
+# unlike the reference GPU's CAS race at accumulator_kernels.cu:139-167).
+_register(ReductionType.Sum, "sum", _fields_sum, _merge_add, _fin_sum)
+_register(ReductionType.Max, "max", _fields_minmax, _merge_max, _fin_max_arrays)
+_register(ReductionType.Min, "min", _fields_minmax, _merge_min, _fin_min_arrays)
+_register(ReductionType.Count, "sum", _fields_count, _merge_add, _fin_count_arrays)
+_register(ReductionType.Average, "sum", _fields_avg, _merge_add, _fin_avg_arrays)
+_register(ReductionType.WeightedAverage, "sum", _fields_wavg, _merge_add,
+          _fin_avg_arrays, uses_weight=True)
+_register(ReductionType.MostRecent, "argmax_ts", _fields_mostrecent,
+          _merge_mostrecent, _fin_mostrecent_arrays, uses_timestamp=True)
+
+
+def get_reduction_info(rtype: ReductionType) -> ReductionInfo | None:
+    """Look up a registered reduction (None if not registered,
+    like registry.cpp:189-196)."""
+    return _REGISTRY.get(ReductionType(rtype))
+
+
+def is_registered(rtype: ReductionType) -> bool:
+    return ReductionType(rtype) in _REGISTRY
+
+
+def registered_reductions() -> list[ReductionType]:
+    return sorted(_REGISTRY.keys())

@@ -279,7 +279,8 @@ class Pipeline:
             os.makedirs(d, exist_ok=True)
             fields = (self._host_state[i] if self._backend == "cpu"
                       else self._engine.fetch_state(i))
-            for (trow, tcol) in sorted(self._all_tiles()):
+            # only tiles with state are flushed (tile_manager.cpp:416-426)
+            for (trow, tcol) in sorted(self._touched_tiles):
                 tile = TileIndex(row=trow, col=tcol)
                 cs, rs, cc, rc = cfg.tile_cell_range(tile)
                 body = np.stack([f[rs:rs + rc, cs:cs + cc] for f in fields])
@@ -288,10 +289,6 @@ class Pipeline:
                     tile, cc, rc, info.state_floats, spec.type, body)
                 if not st.ok():
                     raise PcrError(st)
-
-    def _all_tiles(self):
-        cfg = self.config.grid
-        return [(r, c) for r in range(cfg.tiles_y) for c in range(cfg.tiles_x)]
 
     # -- validation -------------------------------------------------------------
 
@@ -501,8 +498,18 @@ class Pipeline:
         for i, (spec, info) in enumerate(self._plans):
             fields = (self._host_state[i] if self._backend == "cpu"
                       else self._engine.fetch_state(i))
-            band = info.finalize_arrays(fields)
-            grid.set_band_array(i, np.asarray(band, dtype=np.float32))
+            # Per-tile finalize, reference semantics (pipeline.cpp:1204-1283):
+            # bands start NaN; only tiles with state are finalized, so e.g.
+            # Sum yields 0.0 for empty cells inside touched tiles and NaN
+            # for untouched tiles.
+            band = np.full((cfg.height, cfg.width), np.nan, dtype=np.float32)
+            for (trow, tcol) in self._touched_tiles:
+                cs, rs, cc, rc = cfg.tile_cell_range(
+                    TileIndex(row=trow, col=tcol))
+                tile_fields = [f[rs:rs + rc, cs:cs + cc] for f in fields]
+                band[rs:rs + rc, cs:cs + cc] = np.asarray(
+                    info.finalize_arrays(tile_fields), dtype=np.float32)
+            grid.set_band_array(i, band)
         self._result = grid
         self._finalized = True
 

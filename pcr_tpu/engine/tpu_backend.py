@@ -170,6 +170,12 @@ def _build_gaussian_separable_update(info: ReductionInfo, H: int, W: int,
                 wy = jnp.exp(-0.5 * qy * qy)
                 my = (jnp.abs(hs_i - bicy[:, None]) <= br[:, None])
                 my &= (hs_i >= brs[:, None]) & (hs_i < bre[:, None])
+                # The reference drops cells with product weight wx*wy < 1e-6
+                # (glyph_kernels.cu:167); the product cutoff is not separable,
+                # but zeroing per-axis factors below 1e-6 removes the worst of
+                # the deviation (any surviving dropped-by-reference cell then
+                # contributes < 1e-6 weight).
+                my &= wy >= 1e-6
                 wy = jnp.where(my & bvalid[:, None], wy, 0.0)
 
                 dx = ws - bicx[:, None].astype(jnp.float32)
@@ -178,6 +184,7 @@ def _build_gaussian_separable_update(info: ReductionInfo, H: int, W: int,
                 wx = jnp.exp(-0.5 * qx * qx)
                 mx = (jnp.abs(ws_i - bicx[:, None]) <= br[:, None])
                 mx &= (ws_i >= bcs[:, None]) & (ws_i < bce[:, None])
+                mx &= wx >= 1e-6
                 wx = jnp.where(mx, wx, 0.0)
 
                 cols = []

@@ -1,0 +1,155 @@
+"""GeoTIFF I/O tests (reference: tests/cpp/test_grid_io.cpp:34-465)."""
+
+import numpy as np
+import pytest
+
+import pcr_tpu as pcr
+from pcr_tpu.io.geotiff import (
+    GeoTiffOptions, TiledGeoTiffWriter, lzw_decode, lzw_encode,
+    read_geotiff_band, read_geotiff_info, write_geotiff,
+)
+from conftest import make_grid_config
+
+
+def make_grid(names, w=64, h=48, seed=0):
+    rng = np.random.default_rng(seed)
+    g = pcr.Grid.create(w, h, [pcr.BandDesc(name=n) for n in names])
+    arrays = []
+    for i in range(len(names)):
+        a = rng.random((h, w)).astype(np.float32)
+        g.set_band_array(i, a)
+        arrays.append(a)
+    return g, arrays
+
+
+class TestLzw:
+    @pytest.mark.parametrize("size", [0, 1, 255, 4096, 100_000])
+    def test_roundtrip_random(self, size):
+        data = np.random.default_rng(size or 1).integers(
+            0, 256, size, dtype=np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(data)) == data
+
+    def test_roundtrip_runs(self):
+        data = b"abc" * 10000 + b"\x00" * 5000
+        enc = lzw_encode(data)
+        assert lzw_decode(enc) == data
+        assert len(enc) < len(data) // 2   # compresses repetitive data
+
+
+class TestWriteRead:
+    def test_single_band_roundtrip(self, tmp_path):
+        gc = make_grid_config(w=64.0, h=48.0)
+        g, arrays = make_grid(["elev"])
+        path = str(tmp_path / "a.tif")
+        assert write_geotiff(path, g, gc).ok()
+        out = read_geotiff_band(path, 0)
+        assert np.array_equal(out, arrays[0])
+
+    def test_multiband_roundtrip(self, tmp_path):
+        gc = make_grid_config(w=64.0, h=48.0)
+        g, arrays = make_grid(["a", "b", "c"])
+        path = str(tmp_path / "m.tif")
+        assert write_geotiff(path, g, gc).ok()
+        for i in range(3):
+            assert np.array_equal(read_geotiff_band(path, i), arrays[i])
+
+    @pytest.mark.parametrize("comp", ["NONE", "DEFLATE", "LZW", "ZSTD"])
+    def test_compression_variants(self, tmp_path, comp):
+        gc = make_grid_config(w=64.0, h=48.0)
+        g, arrays = make_grid(["x"])
+        path = str(tmp_path / f"{comp}.tif")
+        assert write_geotiff(path, g, gc, GeoTiffOptions(compress=comp)).ok()
+        assert np.array_equal(read_geotiff_band(path, 0), arrays[0])
+
+    def test_nan_inf_preserved(self, tmp_path):
+        gc = make_grid_config(w=4.0, h=1.0)
+        g = pcr.Grid.create(4, 1, [pcr.BandDesc(name="x")])
+        a = np.array([[np.nan, np.inf, -np.inf, 1.5]], np.float32)
+        g.set_band_array(0, a)
+        path = str(tmp_path / "nan.tif")
+        assert write_geotiff(path, g, gc).ok()
+        out = read_geotiff_band(path, 0)
+        assert np.array_equal(out, a, equal_nan=True)
+
+    def test_info_and_crs_preserved(self, tmp_path):
+        gc = make_grid_config(w=64.0, h=48.0, epsg=32110)
+        g, _ = make_grid(["x"])
+        path = str(tmp_path / "crs.tif")
+        assert write_geotiff(path, g, gc).ok()
+        w, h, nb, crs, bounds = read_geotiff_info(path)
+        assert (w, h, nb) == (64, 48, 1)
+        assert crs.epsg == 32110
+        assert bounds.min_x == 0.0 and bounds.max_y == 48.0
+        assert bounds.max_x == 64.0 and bounds.min_y == 0.0
+
+    def test_stripped_mode(self, tmp_path):
+        gc = make_grid_config(w=64.0, h=48.0)
+        g, arrays = make_grid(["x"])
+        path = str(tmp_path / "strip.tif")
+        opts = GeoTiffOptions(tile_width=0, tile_height=0, compress="DEFLATE")
+        assert write_geotiff(path, g, gc, opts).ok()
+        assert np.array_equal(read_geotiff_band(path, 0), arrays[0])
+
+    def test_cog_overviews(self, tmp_path):
+        gc = make_grid_config(w=600.0, h=600.0)
+        rng = np.random.default_rng(0)
+        g = pcr.Grid.create(600, 600, [pcr.BandDesc(name="x")])
+        g.set_band_array(0, rng.random((600, 600)).astype(np.float32))
+        path = str(tmp_path / "cog.tif")
+        opts = GeoTiffOptions(cloud_optimized=True, compress="DEFLATE")
+        assert write_geotiff(path, g, gc, opts).ok()
+        # main band still reads exactly; file has extra IFDs
+        from pcr_tpu.io.geotiff import _read_ifds
+        images, _ = _read_ifds(path)
+        assert len(images) > 1
+        assert images[1].subfile_type == 1
+        assert images[1].width == 300
+
+    def test_missing_file(self):
+        with pytest.raises(pcr.PcrError):
+            read_geotiff_info("/nonexistent/file.tif")
+
+    def test_device_grid_rejected(self, tmp_path):
+        gc = make_grid_config(w=8.0, h=8.0)
+        g = pcr.Grid.create(8, 8, [pcr.BandDesc(name="x")],
+                            pcr.MemoryLocation.Device)
+        st = write_geotiff(str(tmp_path / "d.tif"), g, gc)
+        assert not st.ok()
+
+
+class TestTiledWriter:
+    def test_incremental_tiles(self, tmp_path):
+        gc = make_grid_config(w=100.0, h=100.0, tile=40)
+        path = str(tmp_path / "tiled.tif")
+        writer = TiledGeoTiffWriter.open(path, gc, ["a"])
+        rng = np.random.default_rng(1)
+        expected = np.full((100, 100), np.nan, np.float32)
+        for trow in range(gc.tiles_y):
+            for tcol in range(gc.tiles_x):
+                tile = pcr.TileIndex(row=trow, col=tcol)
+                cs, rs, cc, rc = gc.tile_cell_range(tile)
+                data = rng.random((1, rc, cc)).astype(np.float32)
+                assert writer.write_tile(tile, data, 1).ok()
+                expected[rs:rs + rc, cs:cs + cc] = data[0]
+        assert writer.close().ok()
+        out = read_geotiff_band(path, 0)
+        assert np.array_equal(out, expected, equal_nan=True)
+
+    def test_edge_tiles_and_missing_tiles_nan(self, tmp_path):
+        gc = make_grid_config(w=100.0, h=100.0, tile=64)
+        path = str(tmp_path / "edge.tif")
+        writer = TiledGeoTiffWriter.open(path, gc, ["a"])
+        # only write the edge tile (36x36)
+        tile = pcr.TileIndex(row=1, col=1)
+        data = np.ones((1, 36, 36), np.float32) * 2.0
+        assert writer.write_tile(tile, data, 1).ok()
+        assert writer.close().ok()
+        out = read_geotiff_band(path, 0)
+        assert (out[64:, 64:] == 2.0).all()
+        assert np.isnan(out[:64, :64]).all()
+
+    def test_band_count_mismatch(self, tmp_path):
+        gc = make_grid_config(w=10.0, h=10.0)
+        writer = TiledGeoTiffWriter.open(str(tmp_path / "x.tif"), gc, ["a"])
+        st = writer.write_tile(pcr.TileIndex(), np.zeros((2, 10, 10)), 2)
+        assert not st.ok()

@@ -1,0 +1,189 @@
+"""CPU-oracle ↔ JAX-engine parity tests.
+
+This is the rebuild of the reference's CPU/GPU parity mechanism
+(scripts/patterns/compare_cpu_gpu_patterns.py:28-95, tolerance 1e-4);
+the TPU build targets the tighter 1e-5 bar (BASELINE.json north_star).
+The JAX engine runs on CPU devices here (conftest sets JAX_PLATFORMS=cpu
+with PCR_FORCE_JAX=1) — the code path is identical on real TPUs.
+"""
+
+import numpy as np
+import pytest
+
+import pcr_tpu as pcr
+from conftest import make_cloud, make_grid_config
+
+RT = pcr.ReductionType
+PARITY_ATOL = 1e-5
+
+
+def run_mode(mode, specs, clouds, gc, **cfg_kw):
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [_clone_spec(s) for s in specs]
+    cfg.exec_mode = mode
+    for k, v in cfg_kw.items():
+        setattr(cfg, k, v)
+    p = pcr.Pipeline.create(cfg)
+    for c in clouds:
+        p.ingest(c)
+    p.finalize()
+    return [p.result().band_array(i).copy() for i in range(len(specs))]
+
+
+def _clone_spec(s):
+    import copy
+    return copy.deepcopy(s)
+
+
+def assert_parity(specs, clouds, gc, atol=PARITY_ATOL, rtol=PARITY_ATOL):
+    """Parity bar: |cpu - tpu| <= atol + rtol * |cpu| per cell.
+
+    The reference's own CPU/GPU comparator uses 1e-4 absolute
+    (compare_cpu_gpu_patterns.py:28-41); this bar is tighter (1e-5) with a
+    relative term for cells whose magnitude makes 1e-5 absolute stricter
+    than float32 itself (eps = 1.2e-7 relative)."""
+    a = run_mode(pcr.ExecutionMode.CPU, specs, clouds, gc)
+    b = run_mode(pcr.ExecutionMode.GPU, specs, clouds, gc)
+    for i, (x, y) in enumerate(zip(a, b)):
+        nan_mismatch = int((np.isnan(x) != np.isnan(y)).sum())
+        assert nan_mismatch == 0, f"spec {i}: {nan_mismatch} NaN mismatches"
+        m = ~np.isnan(x)
+        if m.any():
+            excess = np.abs(x[m] - y[m]) - (atol + rtol * np.abs(x[m]))
+            d = float(excess.max())
+            assert d <= 0, f"spec {i}: parity excess {d}"
+
+
+def glyph_cloud(n=15000, seed=0, w=100.0, h=100.0):
+    rng = np.random.default_rng(seed)
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(0, w, n))
+    c.set_y_array(rng.uniform(0, h, n))
+    for name, arr in [
+        ("v", rng.normal(0, 1, n)),
+        ("w", rng.uniform(0.1, 2.0, n)),
+        ("ts", rng.uniform(0, 100, n)),
+        ("sig", rng.uniform(0.5, 3.0, n)),
+        ("rot", rng.uniform(0, np.pi, n)),
+        ("dir", rng.uniform(0, 2 * np.pi, n)),
+        ("hl", rng.uniform(0.5, 6.0, n)),
+    ]:
+        c.add_channel(name, pcr.DataType.Float32)
+        c.set_channel_array_f32(name, arr.astype(np.float32))
+    return c
+
+
+class TestPointParity:
+    def test_all_reductions(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        cloud = glyph_cloud()
+        specs = [
+            pcr.ReductionSpec(value_channel="v", type=RT.Sum),
+            pcr.ReductionSpec(value_channel="v", type=RT.Average),
+            pcr.ReductionSpec(value_channel="v", type=RT.Max),
+            pcr.ReductionSpec(value_channel="v", type=RT.Min),
+            pcr.ReductionSpec(value_channel="v", type=RT.Count),
+            pcr.ReductionSpec(value_channel="v", type=RT.WeightedAverage,
+                              weight_channel="w"),
+            pcr.ReductionSpec(value_channel="v", type=RT.MostRecent,
+                              timestamp_channel="ts"),
+        ]
+        assert_parity(specs, [cloud], gc)
+
+    def test_multi_cloud(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        clouds = [glyph_cloud(seed=s) for s in range(3)]
+        specs = [pcr.ReductionSpec(value_channel="v", type=RT.Average)]
+        assert_parity(specs, clouds, gc)
+
+    def test_chunking_boundary(self):
+        """Cross the first chunk bucket (8192) to exercise padding."""
+        gc = make_grid_config(w=100.0, h=100.0)
+        cloud = glyph_cloud(n=8193)
+        specs = [pcr.ReductionSpec(value_channel="v", type=RT.Sum)]
+        assert_parity(specs, [cloud], gc)
+
+
+class TestGaussianParity:
+    def test_default_sigma(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        spec = pcr.gaussian_splat_spec("v", default_sigma=2.0,
+                                       max_radius_cells=8.0)
+        assert_parity([spec], [glyph_cloud()], gc)
+
+    def test_per_point_sigma(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        spec = pcr.gaussian_splat_spec("v", sigma_x_channel="sig",
+                                       sigma_y_channel="sig",
+                                       max_radius_cells=12.0)
+        assert_parity([spec], [glyph_cloud()], gc)
+
+    def test_rotated_anisotropic(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        spec = pcr.gaussian_splat_spec("v", default_sigma_x=3.0,
+                                       default_sigma_y=1.0,
+                                       rotation_channel="rot",
+                                       max_radius_cells=10.0)
+        assert_parity([spec], [glyph_cloud(n=4000)], gc)
+
+    def test_gaussian_sum_and_count(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        s1 = pcr.gaussian_splat_spec("v", default_sigma=1.5,
+                                     max_radius_cells=6.0)
+        s1.type = RT.Sum
+        s2 = pcr.gaussian_splat_spec("v", default_sigma=1.5,
+                                     max_radius_cells=6.0)
+        s2.type = RT.Count
+        s3 = pcr.gaussian_splat_spec("v", default_sigma=1.5,
+                                     max_radius_cells=6.0)
+        s3.type = RT.Average
+        assert_parity([s1, s2, s3], [glyph_cloud()], gc)
+
+    def test_non_square_cells(self):
+        gc = make_grid_config(w=100.0, h=100.0, cell=0.5)
+        spec = pcr.gaussian_splat_spec("v", default_sigma=1.0,
+                                       max_radius_cells=8.0)
+        assert_parity([spec], [glyph_cloud(n=5000)], gc)
+
+
+class TestLineParity:
+    def test_fixed_direction(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        spec = pcr.line_splat_spec("v", default_direction=0.7,
+                                   default_half_length=4.0,
+                                   max_radius_cells=8.0)
+        assert_parity([spec], [glyph_cloud()], gc)
+
+    def test_per_point_channels(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        spec = pcr.line_splat_spec("v", direction_channel="dir",
+                                   half_length_channel="hl",
+                                   max_radius_cells=8.0)
+        assert_parity([spec], [glyph_cloud()], gc)
+
+
+class TestTiledParity:
+    def test_glyph_clipping_small_tiles(self):
+        gc = make_grid_config(w=100.0, h=100.0, tile=32)
+        sg = pcr.gaussian_splat_spec("v", default_sigma=2.0,
+                                     max_radius_cells=8.0)
+        sl = pcr.line_splat_spec("v", direction_channel="dir",
+                                 half_length_channel="hl",
+                                 max_radius_cells=8.0)
+        assert_parity([sg, sl], [glyph_cloud()], gc)
+
+
+class TestFilterParity:
+    def test_filtered_ingest(self):
+        gc = make_grid_config(w=100.0, h=100.0)
+        cloud = glyph_cloud()
+        specs = [pcr.ReductionSpec(value_channel="v", type=RT.Average)]
+        for mode_kw in ({},):
+            cfg_a = dict(filter=pcr.FilterSpec().add(
+                "w", pcr.CompareOp.Greater, 1.0))
+            a = run_mode(pcr.ExecutionMode.CPU, specs, [cloud], gc, **cfg_a)
+            b = run_mode(pcr.ExecutionMode.GPU, specs, [cloud], gc, **cfg_a)
+            m = ~np.isnan(a[0])
+            assert (np.isnan(a[0]) == np.isnan(b[0])).all()
+            assert np.abs(a[0][m] - b[0][m]).max() <= PARITY_ATOL

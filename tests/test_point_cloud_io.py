@@ -1,0 +1,244 @@
+"""Point-cloud I/O tests
+(reference: tests/cpp/test_point_cloud_io.cpp:35-528)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import pcr_tpu as pcr
+from pcr_tpu.io.point_cloud_io import (
+    PointCloudFormat, PointCloudReader, detect_format, read_point_cloud,
+    read_point_cloud_info, write_point_cloud,
+)
+
+
+def make_cloud(n=100, seed=0, crs_epsg=3857):
+    rng = np.random.default_rng(seed)
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(0, 1000, n))
+    c.set_y_array(rng.uniform(0, 1000, n))
+    c.add_channel("intensity", pcr.DataType.Float32)
+    c.set_channel_array_f32("intensity",
+                            rng.random(n).astype(np.float32))
+    c.set_crs(pcr.CRS.from_epsg(crs_epsg))
+    return c
+
+
+class TestPcrp:
+    def test_roundtrip(self, tmp_path):
+        c = make_cloud(57)
+        path = str(tmp_path / "c.pcrp")
+        assert write_point_cloud(path, c, PointCloudFormat.PCR_Binary).ok()
+        out = read_point_cloud(path)
+        assert out.count() == 57
+        assert np.array_equal(out.x_array(), c.x_array())
+        assert np.array_equal(out.y_array(), c.y_array())
+        assert np.array_equal(out.channel_array_f32("intensity"),
+                              c.channel_array_f32("intensity"))
+        assert out.crs().epsg == 3857
+
+    def test_magic(self, tmp_path):
+        path = str(tmp_path / "c.pcrp")
+        write_point_cloud(path, make_cloud(3))
+        magic = struct.unpack("<I", open(path, "rb").read(4))[0]
+        assert magic == 0x50524350   # "PCRP"
+
+    def test_info(self, tmp_path):
+        path = str(tmp_path / "c.pcrp")
+        write_point_cloud(path, make_cloud(21))
+        info = read_point_cloud_info(path)
+        assert info.num_points == 21
+        assert [ch.name for ch in info.channels] == ["intensity"]
+        assert info.crs.epsg == 3857
+
+    def test_corrupt(self, tmp_path):
+        path = str(tmp_path / "bad.pcrp")
+        with open(path, "wb") as f:
+            f.write(b"JUNKJUNKJUNK")
+        with pytest.raises(pcr.PcrError):
+            read_point_cloud(path)
+
+
+class TestCsv:
+    def test_roundtrip(self, tmp_path):
+        c = make_cloud(33)
+        path = str(tmp_path / "c.csv")
+        assert write_point_cloud(path, c, PointCloudFormat.CSV).ok()
+        out = read_point_cloud(path)
+        assert out.count() == 33
+        np.testing.assert_allclose(out.x_array(), c.x_array(), rtol=1e-12)
+        np.testing.assert_allclose(out.channel_array_f32("intensity"),
+                                   c.channel_array_f32("intensity"),
+                                   rtol=1e-6)
+
+    def test_header_required(self, tmp_path):
+        path = str(tmp_path / "h.csv")
+        with open(path, "w") as f:
+            f.write("a,b\n1,2\n")
+        with pytest.raises(pcr.PcrError):
+            read_point_cloud(path)
+
+    def test_corrupt_row(self, tmp_path):
+        path = str(tmp_path / "c.csv")
+        with open(path, "w") as f:
+            f.write("x,y\n1,2\nfoo,bar\n")
+        with pytest.raises(pcr.PcrError):
+            read_point_cloud(path)
+
+
+class TestAutodetect:
+    def test_by_extension(self, tmp_path):
+        assert detect_format("a.pcrp") == PointCloudFormat.PCR_Binary
+        assert detect_format("a.csv") == PointCloudFormat.CSV
+        assert detect_format("a.LAS") == PointCloudFormat.LAS
+        assert detect_format("a.laz") == PointCloudFormat.LAZ
+
+    def test_by_magic(self, tmp_path):
+        path = str(tmp_path / "mystery.bin")
+        write_point_cloud(path, make_cloud(5), PointCloudFormat.PCR_Binary)
+        assert detect_format(path) == PointCloudFormat.PCR_Binary
+        out = read_point_cloud(path)   # Auto
+        assert out.count() == 5
+
+
+def write_synthetic_las(path, n=50, point_format=1, version=(1, 2),
+                        seed=0):
+    """Build a minimal valid LAS file with numpy."""
+    rng = np.random.default_rng(seed)
+    scale = (0.01, 0.01, 0.01)
+    offset = (1000.0, 2000.0, 0.0)
+    x = rng.uniform(0, 100, n)
+    y = rng.uniform(0, 100, n)
+    z = rng.uniform(0, 50, n)
+    xi = np.round((x + offset[0]) / scale[0] - offset[0] / scale[0] * 0
+                  ).astype(np.int32)
+    # store raw ints directly: world = raw * scale + offset
+    xi = np.round(x / scale[0]).astype(np.int32)
+    yi = np.round(y / scale[1]).astype(np.int32)
+    zi = np.round(z / scale[2]).astype(np.int32)
+    header_size = 227
+    rec_size = 28 if point_format == 1 else 20
+    header = bytearray(header_size)
+    header[0:4] = b"LASF"
+    header[24] = version[0]
+    header[25] = version[1]
+    struct.pack_into("<H", header, 94, header_size)
+    struct.pack_into("<I", header, 96, header_size)       # point data offset
+    header[104] = point_format
+    struct.pack_into("<H", header, 105, rec_size)
+    struct.pack_into("<I", header, 107, n)
+    struct.pack_into("<3d", header, 131, *scale)
+    struct.pack_into("<3d", header, 155, *offset)
+    struct.pack_into("<6d", header, 179,
+                     float((x + offset[0]).max()), float((x + offset[0]).min()),
+                     float((y + offset[1]).max()), float((y + offset[1]).min()),
+                     float((z + offset[2]).max()), float((z + offset[2]).min()))
+    fields = [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
+              ("flags", "u1"), ("classification", "u1"), ("scan_angle", "i1"),
+              ("user_data", "u1"), ("point_source", "<u2")]
+    if point_format == 1:
+        fields.append(("gps_time", "<f8"))
+    rec = np.zeros(n, dtype=np.dtype(fields))
+    rec["X"], rec["Y"], rec["Z"] = xi, yi, zi
+    rec["intensity"] = rng.integers(0, 1000, n).astype(np.uint16)
+    rec["classification"] = rng.integers(0, 10, n).astype(np.uint8)
+    if point_format == 1:
+        rec["gps_time"] = rng.uniform(0, 1e5, n)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(rec.tobytes())
+    wx = xi * scale[0] + offset[0]
+    wy = yi * scale[1] + offset[1]
+    return wx, wy, rec
+
+
+class TestLas:
+    """LAS reading is implemented natively (the reference C++ core returns
+    NotImplemented, point_cloud_io.cpp:478-491 — this build exceeds it)."""
+
+    def test_read_las_pf1(self, tmp_path):
+        path = str(tmp_path / "t.las")
+        wx, wy, rec = write_synthetic_las(path, n=64, point_format=1)
+        c = read_point_cloud(path)
+        assert c.count() == 64
+        np.testing.assert_allclose(c.x_array(), wx, atol=1e-9)
+        np.testing.assert_allclose(c.y_array(), wy, atol=1e-9)
+        assert c.has_channel("z") and c.has_channel("intensity")
+        assert c.has_channel("classification") and c.has_channel("gps_time")
+        np.testing.assert_allclose(
+            c.channel_array_f32("intensity"),
+            rec["intensity"].astype(np.float32))
+
+    def test_las_info(self, tmp_path):
+        path = str(tmp_path / "t.las")
+        write_synthetic_las(path, n=10)
+        info = read_point_cloud_info(path)
+        assert info.num_points == 10
+        assert info.bounds.valid()
+
+    def test_laz_not_implemented(self, tmp_path):
+        path = str(tmp_path / "t.laz")
+        with open(path, "wb") as f:
+            f.write(b"LASF" + b"\x00" * 400)
+        with pytest.raises(pcr.PcrError) as ei:
+            read_point_cloud(path)
+        assert ei.value.status.code == pcr.StatusCode.NotImplemented
+
+
+class TestStreamingReader:
+    def test_chunks_and_rewind_pcrp(self, tmp_path):
+        c = make_cloud(100)
+        path = str(tmp_path / "s.pcrp")
+        write_point_cloud(path, c)
+        r = PointCloudReader.open(path)
+        assert r.info().num_points == 100
+        buf = pcr.PointCloud.create(40)
+        total, chunks = 0, 0
+        while not r.eof():
+            n = r.read_chunk(buf, 40)
+            if n == 0:
+                break
+            if total == 0:
+                np.testing.assert_array_equal(buf.x_array(),
+                                              c.x_array()[:40])
+            total += n
+            chunks += 1
+        assert total == 100 and chunks == 3
+        assert r.read_chunk(buf, 40) == 0
+        assert r.rewind().ok()
+        assert not r.eof()
+        assert r.read_chunk(buf, 40) == 40
+
+    def test_chunks_csv(self, tmp_path):
+        c = make_cloud(25)
+        path = str(tmp_path / "s.csv")
+        write_point_cloud(path, c, PointCloudFormat.CSV)
+        r = PointCloudReader.open(path)
+        buf = pcr.PointCloud.create(10)
+        total = 0
+        while not r.eof():
+            n = r.read_chunk(buf, 10)
+            if n == 0:
+                break
+            total += n
+        assert total == 25
+
+    def test_chunks_las(self, tmp_path):
+        path = str(tmp_path / "s.las")
+        wx, wy, _ = write_synthetic_las(path, n=30)
+        r = PointCloudReader.open(path)
+        buf = pcr.PointCloud.create(12)
+        xs = []
+        while not r.eof():
+            n = r.read_chunk(buf, 12)
+            if n == 0:
+                break
+            xs.append(buf.x_array().copy())
+        got = np.concatenate(xs)
+        np.testing.assert_allclose(got, wx, atol=1e-9)
+
+    def test_missing_file(self):
+        with pytest.raises(pcr.PcrError):
+            PointCloudReader.open("/nope/missing.pcrp")

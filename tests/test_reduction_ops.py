@@ -1,0 +1,157 @@
+"""Reduction op algebra tests
+(reference: tests/cpp/test_reduction_ops.cpp:14-397)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import pcr_tpu as pcr
+from pcr_tpu.ops.reduction import (
+    FLT_MAX, get_reduction_info, is_registered, registered_reductions,
+)
+
+RT = pcr.ReductionType
+
+
+def fold(info, values, **kw):
+    s = tuple(info.op.identity)
+    for i, v in enumerate(values):
+        kwargs = {k: (a[i] if hasattr(a, "__len__") else a)
+                  for k, a in kw.items()}
+        s = info.op.combine(s, v, **kwargs)
+    return s
+
+
+class TestOpAlgebra:
+    def test_sum(self):
+        info = get_reduction_info(RT.Sum)
+        assert info.op.identity == (0.0,)
+        s = fold(info, [1.0, 2.0, 3.5])
+        assert s == (6.5,)
+        assert info.op.finalize(s) == 6.5
+        assert info.op.finalize(info.op.identity) == 0.0   # empty sum is 0
+
+    def test_max_empty_nan(self):
+        info = get_reduction_info(RT.Max)
+        assert math.isnan(info.op.finalize(info.op.identity))
+        s = fold(info, [-5.0, 3.0, 1.0])
+        assert info.op.finalize(s) == 3.0
+
+    def test_min_empty_nan(self):
+        info = get_reduction_info(RT.Min)
+        assert math.isnan(info.op.finalize(info.op.identity))
+        s = fold(info, [-5.0, 3.0, 1.0])
+        assert info.op.finalize(s) == -5.0
+
+    def test_count_empty_nan(self):
+        info = get_reduction_info(RT.Count)
+        assert math.isnan(info.op.finalize(info.op.identity))
+        s = fold(info, [10.0, 20.0, 30.0])
+        assert info.op.finalize(s) == 3.0   # value ignored
+
+    def test_average(self):
+        info = get_reduction_info(RT.Average)
+        s = fold(info, [2.0, 4.0, 6.0])
+        assert s == (12.0, 3.0)
+        assert info.op.finalize(s) == 4.0
+        assert math.isnan(info.op.finalize(info.op.identity))
+
+    def test_weighted_average(self):
+        info = get_reduction_info(RT.WeightedAverage)
+        s = fold(info, [10.0, 20.0], weight=np.array([1.0, 3.0]))
+        assert s == (70.0, 4.0)
+        assert info.op.finalize(s) == pytest.approx(17.5)
+        # unweighted combine defaults weight to 1.0 (builtin_ops.h:85-88)
+        s = fold(info, [10.0, 20.0])
+        assert s == (30.0, 2.0)
+
+    def test_most_recent(self):
+        info = get_reduction_info(RT.MostRecent)
+        s = fold(info, [1.0, 2.0, 3.0], timestamp=np.array([5.0, 9.0, 7.0]))
+        assert info.op.finalize(s) == 2.0
+        # strictly-greater: equal timestamp does not replace
+        s = info.op.combine(info.op.identity, 1.0, timestamp=5.0)
+        s = info.op.combine(s, 99.0, timestamp=5.0)
+        assert info.op.finalize(s) == 1.0
+
+    def test_merge_associativity(self):
+        rng = np.random.default_rng(3)
+        for rt in (RT.Sum, RT.Max, RT.Min, RT.Count, RT.Average,
+                   RT.WeightedAverage):
+            info = get_reduction_info(rt)
+            parts = []
+            vals = rng.normal(0, 10, 30)
+            for chunk in np.split(vals, 3):
+                parts.append(fold(info, chunk))
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = info.op.merge(merged, p)
+            whole = fold(info, vals)
+            assert np.allclose(merged, whole)
+
+    def test_most_recent_merge_tie_prefers_a(self):
+        info = get_reduction_info(RT.MostRecent)
+        a = (1.0, 5.0)
+        b = (2.0, 5.0)
+        assert info.op.merge(a, b) == a   # builtin_ops.h:118-120 (>= keeps a)
+        assert info.op.merge(b, a) == b
+
+
+class TestStateLayout:
+    def test_state_floats(self):
+        assert get_reduction_info(RT.Sum).state_floats == 1
+        assert get_reduction_info(RT.Max).state_floats == 1
+        assert get_reduction_info(RT.Average).state_floats == 2
+        assert get_reduction_info(RT.WeightedAverage).state_floats == 2
+        assert get_reduction_info(RT.MostRecent).state_floats == 2
+
+    def test_init_state_identity(self):
+        info = get_reduction_info(RT.Max)
+        st = info.init_state((4, 4))
+        assert len(st) == 1
+        assert (st[0] == np.float32(-FLT_MAX)).all()
+        info = get_reduction_info(RT.MostRecent)
+        st = info.init_state((2, 2))
+        assert np.isnan(st[0]).all()
+        assert (st[1] == np.float32(-FLT_MAX)).all()
+
+
+class TestRegistry:
+    def test_registered_set(self):
+        regs = registered_reductions()
+        for rt in (RT.Sum, RT.Max, RT.Min, RT.Count, RT.Average,
+                   RT.WeightedAverage, RT.MostRecent):
+            assert rt in regs
+        # unimplemented ops are not registered (registry.cpp:183-185)
+        assert not is_registered(RT.Median)
+        assert not is_registered(RT.Percentile)
+        assert not is_registered(RT.PriorityMerge)
+        assert get_reduction_info(RT.Median) is None
+
+
+class TestFinalizeArrays:
+    def test_average_empty_cells_nan(self):
+        info = get_reduction_info(RT.Average)
+        s = info.init_state((2, 2))
+        s[0][0, 0] = 6.0
+        s[1][0, 0] = 2.0
+        out = info.finalize_arrays(s)
+        assert out[0, 0] == 3.0
+        assert np.isnan(out[0, 1])
+
+    def test_max_identity_nan(self):
+        info = get_reduction_info(RT.Max)
+        s = info.init_state((1, 2))
+        s[0][0, 0] = 5.0
+        out = info.finalize_arrays(s)
+        assert out[0, 0] == 5.0
+        assert np.isnan(out[0, 1])
+
+    def test_merge_arrays_matches_scalar(self):
+        info = get_reduction_info(RT.MostRecent)
+        a = [np.array([1.0, 3.0], np.float32), np.array([5.0, 2.0], np.float32)]
+        b = [np.array([9.0, 7.0], np.float32), np.array([5.0, 8.0], np.float32)]
+        v, t = info.merge_arrays(a, b)
+        assert v.tolist() == [1.0, 7.0]   # tie keeps a; higher ts wins
+        assert t.tolist() == [5.0, 8.0]

@@ -126,6 +126,15 @@ class ProgressInfo:
     elapsed_seconds: float = 0.0
 
 
+@dataclass
+class StagedCloud:
+    """A routed point cloud staged in device HBM (see Pipeline.stage)."""
+    per_spec: list           # per ReductionSpec: list[StagedChunk]
+    n_valid: int
+    col: np.ndarray          # valid points' assigned cells (for tile stats)
+    row: np.ndarray
+
+
 def _force_jax() -> bool:
     """Test hook: treat the default JAX device (even CPU) as an accelerator,
     so the device code path can be exercised without TPU hardware."""
@@ -299,8 +308,41 @@ class Pipeline:
 
     # -- ingest -----------------------------------------------------------------
 
-    def ingest(self, cloud: PointCloud) -> None:
-        """Process one point-cloud collection. Can be called repeatedly.
+    def stage(self, cloud: PointCloud) -> "StagedCloud":
+        """Route a cloud on the host and stage its packed chunks in device
+        HBM without running the accumulation compute.
+
+        This is the analogue of the reference's Device-resident clouds
+        ("GPU-Device" mode, docs/BENCHMARK_RESULTS.md:28-42): a subsequent
+        `ingest(staged)` is pure device compute. Only available on the
+        accelerator backend."""
+        if self._backend != "jax":
+            raise PcrError(Status.error(
+                StatusCode.InvalidArgument,
+                "stage() requires the accelerator backend"))
+        x = cloud.x_array()
+        y = cloud.y_array()
+        keep = (evaluate_filter_mask(cloud, self.config.filter)
+                if not self.config.filter.empty() else None)
+        col, row, valid = routing.assign(self.config.grid, x, y)
+        if keep is not None:
+            valid = valid & keep
+        per_spec = []
+        for i, (spec, info) in enumerate(self._plans):
+            n = cloud.count()
+            values = self._values_for(spec, cloud, n)
+            weights, timestamps = self._aux_channels(spec, info, cloud, n)
+            gt = GlyphType(spec.glyph.type)
+            per_spec.append(self._prepare_jax(
+                i, spec, info, gt, cloud, x, y, col, row, valid,
+                values, weights, timestamps))
+        return StagedCloud(per_spec=per_spec,
+                           n_valid=int(np.count_nonzero(valid)),
+                           col=col[valid], row=row[valid])
+
+    def ingest(self, cloud) -> None:
+        """Process one point-cloud collection (PointCloud or StagedCloud).
+        Can be called repeatedly.
 
         Raises PcrError on invalid input or user cancellation
         (reference: pipeline.cpp:283-770).
@@ -308,6 +350,14 @@ class Pipeline:
         if self._cancelled:
             raise PcrError(Status.error(StatusCode.InvalidArgument,
                                         "pipeline: cancelled by user"))
+        if isinstance(cloud, StagedCloud):
+            for i in range(len(self._plans)):
+                self._engine.commit(i, cloud.per_spec[i])
+            self._track_tiles(cloud.col, cloud.row)
+            self._points += cloud.n_valid
+            self._collections += 1
+            self._emit_progress()
+            return
         n = cloud.count()
         x = cloud.x_array()
         y = cloud.y_array()
@@ -342,10 +392,8 @@ class Pipeline:
             StatusCode.InvalidArgument,
             f"pipeline: value channel {spec.value_channel!r} not found"))
 
-    def _ingest_spec(self, i, spec, info, cloud, x, y, col, row, valid):
-        cfg = self.config.grid
-        n = cloud.count()
-        values = self._values_for(spec, cloud, n)
+    def _aux_channels(self, spec, info, cloud, n):
+        """Weight/timestamp channels for ops that use them."""
         weights = None
         if info.uses_weight and spec.weight_channel:
             if not cloud.has_channel(spec.weight_channel):
@@ -365,7 +413,12 @@ class Pipeline:
                 # ingest order is the useful interpretation.
                 timestamps = np.arange(
                     self._points, self._points + n, dtype=np.float32)
+        return weights, timestamps
 
+    def _ingest_spec(self, i, spec, info, cloud, x, y, col, row, valid):
+        n = cloud.count()
+        values = self._values_for(spec, cloud, n)
+        weights, timestamps = self._aux_channels(spec, info, cloud, n)
         gt = GlyphType(spec.glyph.type)
         if self._backend == "cpu":
             self._ingest_cpu(i, spec, info, gt, cloud, x, y, col, row, valid,
@@ -419,41 +472,38 @@ class Pipeline:
 
     # -- JAX path ---------------------------------------------------------------
 
-    def _ingest_jax(self, i, spec, info, gt, cloud, x, y, col, row, valid,
-                    values, weights, timestamps):
+    def _prepare_jax(self, i, spec, info, gt, cloud, x, y, col, row, valid,
+                     values, weights, timestamps):
+        """Host-route one cloud for one spec and stage packed chunks on the
+        device. Returns the staged chunk list (commit runs the compute)."""
         cfg = self.config.grid
         eng = self._engine
         if gt == GlyphType.Point:
-            cells = (row.astype(np.int64) * cfg.width
-                     + col.astype(np.int64)).astype(np.int32)
-            eng.ingest_point(i, cells, valid, values, weights, timestamps)
-            return
-        col_s, row_s, col_e, row_e = routing.home_tile_ranges(cfg, col, row)
+            cells = (row.astype(np.int32) * np.int32(cfg.width)
+                     + col.astype(np.int32))
+            return eng.prepare_point(i, cells, valid, values, weights,
+                                     timestamps)
         if gt == GlyphType.Gaussian:
             gp = routing.gaussian_params(
                 spec.glyph, cfg, x, y,
                 routing.glyph_channel(cloud, spec.glyph.sigma_x_channel),
                 routing.glyph_channel(cloud, spec.glyph.sigma_y_channel),
                 routing.glyph_channel(cloud, spec.glyph.rotation_channel))
-            eng.ingest_gaussian(
-                i, icx=gp.icx, icy=gp.icy, sub_cx=gp.sub_cx,
-                sub_cy=gp.sub_cy, sx=gp.sx, sy=gp.sy, cos_rot=gp.cos_rot,
-                sin_rot=gp.sin_rot, r=gp.r, valid=valid, values=values,
-                col_s=col_s, col_e=col_e, row_s=row_s, row_e=row_e,
-                rotated=gp.rotated)
-        elif gt == GlyphType.Line:
+            return eng.prepare_gaussian(i, gp, valid, values)
+        if gt == GlyphType.Line:
             lp = routing.line_params(
                 spec.glyph, cfg, x, y,
                 routing.glyph_channel(cloud, spec.glyph.direction_channel),
                 routing.glyph_channel(cloud, spec.glyph.half_length_channel))
-            eng.ingest_line(
-                i, ix0=lp.ix0, iy0=lp.iy0, ix1=lp.ix1, iy1=lp.iy1,
-                valid=valid, values=values,
-                col_s=col_s, col_e=col_e, row_s=row_s, row_e=row_e,
-                max_steps=lp.max_steps)
-        else:
-            raise PcrError(Status.error(StatusCode.NotImplemented,
-                                        f"unknown glyph type {gt}"))
+            return eng.prepare_line(i, lp, valid, values, col, row)
+        raise PcrError(Status.error(StatusCode.NotImplemented,
+                                    f"unknown glyph type {gt}"))
+
+    def _ingest_jax(self, i, spec, info, gt, cloud, x, y, col, row, valid,
+                    values, weights, timestamps):
+        staged = self._prepare_jax(i, spec, info, gt, cloud, x, y, col, row,
+                                   valid, values, weights, timestamps)
+        self._engine.commit(i, staged)
 
     # -- bookkeeping -------------------------------------------------------------
 
@@ -496,26 +546,37 @@ class Pipeline:
                                   is_state=False))
         grid = Grid.create(cfg.width, cfg.height, bands, MemoryLocation.Host)
         for i, (spec, info) in enumerate(self._plans):
-            fields = (self._host_state[i] if self._backend == "cpu"
-                      else self._engine.fetch_state(i))
             # Per-tile finalize, reference semantics (pipeline.cpp:1204-1283):
             # bands start NaN; only tiles with state are finalized, so e.g.
             # Sum yields 0.0 for empty cells inside touched tiles and NaN
             # for untouched tiles.
             band = np.full((cfg.height, cfg.width), np.nan, dtype=np.float32)
-            for (trow, tcol) in self._touched_tiles:
-                cs, rs, cc, rc = cfg.tile_cell_range(
-                    TileIndex(row=trow, col=tcol))
-                tile_fields = [f[rs:rs + rc, cs:cs + cc] for f in fields]
-                band[rs:rs + rc, cs:cs + cc] = np.asarray(
-                    info.finalize_arrays(tile_fields), dtype=np.float32)
+            if self._backend == "jax":
+                # finalize on device; fetch one band instead of K state fields
+                full = self._engine.finalize_band(i)
+                for (trow, tcol) in self._touched_tiles:
+                    cs, rs, cc, rc = cfg.tile_cell_range(
+                        TileIndex(row=trow, col=tcol))
+                    band[rs:rs + rc, cs:cs + cc] = full[rs:rs + rc,
+                                                        cs:cs + cc]
+            else:
+                fields = self._host_state[i]
+                for (trow, tcol) in self._touched_tiles:
+                    cs, rs, cc, rc = cfg.tile_cell_range(
+                        TileIndex(row=trow, col=tcol))
+                    tile_fields = [f[rs:rs + rc, cs:cs + cc] for f in fields]
+                    band[rs:rs + rc, cs:cs + cc] = np.asarray(
+                        info.finalize_arrays(tile_fields), dtype=np.float32)
             grid.set_band_array(i, band)
         self._result = grid
         self._finalized = True
 
         if self.config.output_path:
             from ..io.geotiff import GeoTiffOptions, write_geotiff
-            opts = GeoTiffOptions(cloud_optimized=self.config.write_cog)
+            # The pipeline hot path picks the fast codec (zlib level 1);
+            # use write_geotiff directly for LZW/ZSTD/level control.
+            opts = GeoTiffOptions(cloud_optimized=self.config.write_cog,
+                                  compress="DEFLATE", compress_level=1)
             st = write_geotiff(self.config.output_path, grid, cfg, opts)
             if not st.ok():
                 raise PcrError(st)

@@ -130,6 +130,10 @@ class LineParams:
     ix1: np.ndarray
     iy1: np.ndarray
     max_steps: int          # global bound: max over points of 2(ddx+ddy)+2
+    k_cells: int = 0        # exact iteration count: max(ddx, ddy) + 1
+    # (the dual-step Bresenham advances the major axis every iteration, so
+    # every line reaches its endpoint in exactly max(ddx, ddy) steps; the
+    # 2(ddx+ddy)+2 bound is the reference's loop guard, not the path length)
 
 
 def line_params(spec: GlyphSpec, cfg: GridConfig,
@@ -163,6 +167,7 @@ def line_params(spec: GlyphSpec, cfg: GridConfig,
     ddx = np.abs(ix1 - ix0)
     ddy = np.abs(iy1 - iy0)
     max_steps = int((2 * (ddx + ddy) + 2).max()) if n else 0
+    k_cells = int(np.maximum(ddx, ddy).max()) + 1 if n else 0
     return LineParams(ix0=ix0.astype(np.int32), iy0=iy0.astype(np.int32),
                       ix1=ix1.astype(np.int32), iy1=iy1.astype(np.int32),
-                      max_steps=max_steps)
+                      max_steps=max_steps, k_cells=k_cells)

@@ -16,11 +16,12 @@ glyph_kernels.cu:345-492):
     |d| <= r_p). This makes sigma=16 cost the same as sigma=1 — the
     reference's O(N * (3 sigma)^2) blowup disappears. The w < 1e-6 product
     cutoff of the reference (glyph_kernels.cu:167) is *not* representable in
-    separable form; the matmul keeps those sub-1e-6 weights, a deviation
-    bounded by 1e-6 per point per cell (validated under the 1e-5 parity bar).
+    separable form; per-axis factors below 1e-6 are zeroed, bounding any
+    residual deviation below 1e-6 weight per point per cell (validated under
+    the 1e-5 parity bar).
   * **Gaussian glyph (rotation != 0)**: exact masked window expansion +
-    scatter-add (matches the oracle bit-for-bit in cell selection, including
-    the cutoff), O(N * (2r+1)^2) — used only for rotated splats.
+    scatter-add (matches the oracle cell-for-cell including the cutoff),
+    O(N * (2r+1)^2) — used only for rotated splats.
   * **Line glyph**: vectorized Bresenham — all N lines advance one step per
     iteration (glyph_kernels.cu:252-279 semantics) and each step is a masked
     scatter-add.
@@ -30,8 +31,16 @@ glyph_kernels.cu:345-492):
     (accumulator_kernels.cu:139-167).
 
 Coordinates never reach the device in float64: the host computes integer
-cells + float32 sub-cell fractions in f64 numpy (assign), so the device works
-purely in f32/i32 (TPU has no fast f64).
+cells + float32 sub-cell fractions in f64 numpy (routing.py), so the device
+works purely in f32/i32 (TPU has no fast f64).
+
+**Transfer discipline.** The host→device link can have very high per-call
+latency (remote-attached TPUs), so every chunk travels as ONE packed int32
+buffer of fixed bucket size; invalid points are encoded in-band (cell == C
+for point glyphs, r == -1 for Gaussians, sentinel endpoints for lines) so no
+mask array is transferred. `prepare_*` stages chunks to the device without
+running compute (the analogue of the reference's Device-resident clouds,
+BENCHMARK_RESULTS.md "GPU-Device" mode); `commit` runs the jitted update.
 
 All update functions are jitted once per (spec signature, chunk bucket) and
 donate the state buffers, so ingest is pure device-resident accumulation.
@@ -39,23 +48,26 @@ donate the state buffers, so ingest is pure device-resident accumulation.
 
 from __future__ import annotations
 
-import math
-from functools import partial
+import os
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..core.grid_config import GridConfig
-from ..core.types import ReductionType, Status, StatusCode
+from ..core.types import ReductionType
 from ..ops.reduction import FLT_MAX, ReductionInfo
-from .glyph import GlyphSpec, GlyphType
-from . import cpu_backend as cpu
 
-__all__ = ["TpuEngine", "bucket_size", "CHUNK_BUCKETS"]
+__all__ = ["TpuEngine", "bucket_size", "chunk_ranges", "CHUNK_BUCKETS",
+           "enable_compilation_cache", "StagedChunk"]
 
 # Fixed chunk buckets: pad every ingest chunk up to one of these sizes so XLA
 # compiles a bounded number of program shapes (reference analogue: the
 # billion-point scripts chunk ingest; here chunking also pins static shapes).
-CHUNK_BUCKETS = (8_192, 65_536, 524_288, 2_097_152, 8_388_608)
+# The ladder tops out at 2M points: compile time grows with program size and
+# larger chunks don't help once transfers are amortised.
+CHUNK_BUCKETS = (8_192, 65_536, 524_288, 2_097_152)
+
+_LINE_SENTINEL = np.int32(-(1 << 20))
 
 
 def bucket_size(n: int) -> int:
@@ -65,173 +77,312 @@ def bucket_size(n: int) -> int:
     return CHUNK_BUCKETS[-1]
 
 
+def chunk_ranges(n: int):
+    """Greedy split of n points into bucket-aligned (start, end) ranges:
+    full max-size chunks, then one padded tail chunk."""
+    out = []
+    start = 0
+    top = CHUNK_BUCKETS[-1]
+    while n - start >= top:
+        out.append((start, start + top))
+        start += top
+    if n - start > 0 or n == 0:
+        out.append((start, n))
+    return out
+
+
+_CACHE_READY = False
+
+
+def enable_compilation_cache():
+    """Turn on JAX's persistent compilation cache (compiles through a
+    remote-TPU tunnel take minutes; caching makes them one-time)."""
+    global _CACHE_READY
+    if _CACHE_READY:
+        return
+    import jax
+    d = os.environ.get("PCR_JAX_CACHE",
+                       os.path.expanduser("~/.cache/pcr_jax_cache"))
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    _CACHE_READY = True
+
+
 def _jax():
     import jax
     import jax.numpy as jnp
     return jax, jnp
 
 
+def matmul_precision():
+    """Precision for the soft-one-hot matmuls. HIGHEST (6-pass bf16 f32
+    emulation) is exact enough for the 1e-5 parity bar with margin; set
+    PCR_MATMUL_PRECISION=high for the 2x-faster 3-pass variant."""
+    import jax
+    name = os.environ.get("PCR_MATMUL_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
+
+
 # ---------------------------------------------------------------------------
-# Jitted update builders.  Each returns f(states, *inputs) -> states where
-# `states` is a tuple of flat (C,) float32 arrays for one reduction spec.
+# Update builders. Each consumes ONE packed int32 buffer of nseg*bucket and
+# returns updated state tuples.
 # ---------------------------------------------------------------------------
 
 
 def _build_point_update(info: ReductionInfo, C: int):
-    """Point glyph scatter for one reduction."""
+    """Point glyph scatter; invalid points arrive as cell == C and drop."""
     jax, jnp = _jax()
     kind = info.scatter_kind
 
-    def update(states, cells, valid, values, weights, timestamps):
+    def update(states, cells, values, weights, timestamps):
         fields = info.fields(values, weights, timestamps)
-        cells = jnp.where(valid, cells, 0)
         if kind == "sum":
-            out = []
-            for f, fv in enumerate(fields):
-                fv = jnp.where(valid, fv, 0.0).astype(jnp.float32)
-                out.append(states[f].at[cells].add(fv))
-            return tuple(out)
+            return tuple(
+                states[f].at[cells].add(fv.astype(jnp.float32), mode="drop")
+                for f, fv in enumerate(fields))
         if kind == "max":
-            fv = jnp.where(valid, fields[0], -FLT_MAX).astype(jnp.float32)
-            return (states[0].at[cells].max(fv),)
+            return (states[0].at[cells].max(
+                fields[0].astype(jnp.float32), mode="drop"),)
         if kind == "min":
-            fv = jnp.where(valid, fields[0], FLT_MAX).astype(jnp.float32)
-            return (states[0].at[cells].min(fv),)
+            return (states[0].at[cells].min(
+                fields[0].astype(jnp.float32), mode="drop"),)
         if kind == "argmax_ts":
-            return _argmax_ts_update(states, cells, valid,
-                                     fields[0], fields[1])
+            return _argmax_ts_update(states, cells, fields[0], fields[1], C)
         raise NotImplementedError(kind)
 
     return update
 
 
-def _argmax_ts_update(states, cells, valid, values, ts):
+def _point_nseg(info: ReductionInfo) -> int:
+    return 2 + (1 if info.uses_weight else 0) + (1 if info.uses_timestamp else 0)
+
+
+def _build_point_update_packed(info: ReductionInfo, C: int, bucket: int):
+    """Packed layout: [cells | values | (weights) | (timestamps)]."""
+    jax, jnp = _jax()
+    base = _build_point_update(info, C)
+    nseg = _point_nseg(info)
+
+    def update(states, buf):
+        segs = [buf[i * bucket:(i + 1) * bucket] for i in range(nseg)]
+        cells = segs[0]
+        values = jax.lax.bitcast_convert_type(segs[1], jnp.float32)
+        k = 2
+        weights = None
+        if info.uses_weight:
+            weights = jax.lax.bitcast_convert_type(segs[k], jnp.float32)
+            k += 1
+        timestamps = None
+        if info.uses_timestamp:
+            timestamps = jax.lax.bitcast_convert_type(segs[k], jnp.float32)
+        if weights is None:
+            weights = jnp.ones_like(values)
+        if timestamps is None:
+            timestamps = jnp.full_like(values, -FLT_MAX)
+        return base(states, cells, values, weights, timestamps)
+
+    return update
+
+
+def _argmax_ts_update(states, cells, values, ts, C):
     """Deterministic MostRecent scatter (see module docstring).
 
     Semantics match builtin_ops.h:114-116: a strictly greater timestamp
     replaces; among equal timestamps within the batch the earliest point
-    wins; existing state wins ties against the batch.
-    """
+    wins; existing state wins ties against the batch. Invalid points arrive
+    as cells == C and are dropped."""
     jax, jnp = _jax()
     cur_v, cur_t = states
     n = cells.shape[0]
-    C = cur_v.shape[0]
+    valid = cells < C
+    safe = jnp.where(valid, cells, 0)
     ts = jnp.where(valid, ts, -FLT_MAX).astype(jnp.float32)
     values = values.astype(jnp.float32)
-    # 1) winning timestamp per cell (among batch)
-    m = jnp.full((C,), -FLT_MAX, jnp.float32).at[cells].max(ts)
-    # 2) among batch points achieving the winner ts, the smallest index wins
+    m = jnp.full((C,), -FLT_MAX, jnp.float32).at[cells].max(ts, mode="drop")
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     big = jnp.int32(2**31 - 1)
-    is_win = valid & (ts == m[cells]) & (ts > cur_t[cells])
+    is_win = valid & (ts == m[safe]) & (ts > cur_t[safe])
     idx_masked = jnp.where(is_win, idx, big)
-    widx = jnp.full((C,), big, jnp.int32).at[cells].min(idx_masked)
-    final = is_win & (idx == widx[cells])
-    # 3) unique winners write value+timestamp (out-of-range index drops)
-    safe = jnp.where(final, cells, C)
-    new_v = cur_v.at[safe].set(values, mode="drop")
-    new_t = cur_t.at[safe].set(ts, mode="drop")
+    widx = jnp.full((C,), big, jnp.int32).at[cells].min(idx_masked,
+                                                        mode="drop")
+    final = is_win & (idx == widx[safe])
+    target = jnp.where(final, cells, C)
+    new_v = cur_v.at[target].set(values, mode="drop")
+    new_t = cur_t.at[target].set(ts, mode="drop")
     return (new_v, new_t)
 
 
-def _build_gaussian_separable_update(info: ReductionInfo, H: int, W: int,
-                                     block: int = 8_192):
-    """Rotation-free Gaussian splat as blocked soft-one-hot matmuls.
+def _glyph_nf(info: ReductionInfo):
+    rtype = ReductionType(info.type)
+    nf = 2 if rtype in (ReductionType.WeightedAverage,
+                        ReductionType.Average) else 1
+    use_val = rtype != ReductionType.Count
+    return nf, use_val
 
-    Grid state is carried as (H, W) per field; the scan blocks points to
-    bound the (B, H)/(B, W) factor footprint.
+
+def _device_tile_clip(jnp, cfg: GridConfig, icx, icy):
+    """Home-tile clip ranges derived on device from the (unclamped) center
+    cell. The home tile is the tile of the *clamped* assigned cell
+    (tile_router semantics), so clamp first."""
+    W, H = cfg.width, cfg.height
+    tw, th = cfg.tile_width, cfg.tile_height
+    col = jnp.clip(icx, 0, W - 1)
+    row = jnp.clip(icy, 0, H - 1)
+    cs = (col // tw) * tw
+    rs = (row // th) * th
+    ce = jnp.minimum(cs + tw, W)
+    re = jnp.minimum(rs + th, H)
+    return cs, ce, rs, re
+
+
+def _build_sorted_matmul_update(info: ReductionInfo, cfg: GridConfig,
+                                nsub: int, block: int, TH: int,
+                                point_mode: bool, with_f1: bool):
+    """Row-block-sorted matmul scatter — the fast accumulation path for the
+    sum-family ops, used by both Gaussian splats (soft one-hots) and Point
+    glyphs (exact one-hots).
+
+    The host buckets entries by TH-row block (halo-duplicating Gaussian
+    footprints that straddle blocks), so each device sub-chunk of `block`
+    entries targets ONE row block: its factor matmul is (TH x B) @
+    (B x nf*W) instead of (H x B) @ (B x nf*W) — an H/TH-fold FLOP
+    reduction — and the result folds into the state with an in-place
+    dynamic-update-slice.
+
+    Packed layout: nsub sub-chunks x [icx | icy | sub_cx | sub_cy | sx |
+    sy | r | f0 | (f1)] plus a (nsub,) row-block-id vector at the end.
+    f0/f1 are the per-point field contributions (e.g. val*w and w for
+    WeightedAverage); when with_f1 is False the second field is an implicit
+    1.0 (the glyph weight-sum convention). Invalid/padding entries carry
+    r == -1 (Gaussian) or icy == -1 (point mode).
     """
     jax, jnp = _jax()
-    kind_fields = {
-        ReductionType.WeightedAverage: 2, ReductionType.Average: 2,
-        ReductionType.Sum: 1, ReductionType.Count: 1,
-    }
-    rtype = info.type
-    nf = kind_fields[ReductionType(rtype)]
-    # field multipliers on the column factor: [val, 1] / [val] / [1]
-    use_val = ReductionType(rtype) != ReductionType.Count
+    H, W = cfg.height, cfg.width
+    nf, use_val = _glyph_nf(info)
+    multi_tile = cfg.total_tiles() > 1
+    # One-hot factors make the 3-pass bf16 product EXACT (each f32 splits
+    # into 3 bf16 limbs losslessly and the one-hot side zeroes every cross
+    # term), so point mode always takes the faster HIGH path; Gaussian soft
+    # factors default to HIGHEST (6-pass, ~f32) for the parity bar.
+    prec = (jax.lax.Precision.HIGH if point_mode else matmul_precision())
+    nseg = 8 + (1 if with_f1 else 0)
+    n = nsub * block
 
-    def make():
-        def update_full(states, icx, icy, sub_cx, sub_cy, sx, sy, r, valid,
-                        values, col_s, col_e, row_s, row_e):
-            n = icx.shape[0]
-            nb = n // block
-            hs = jax.lax.broadcasted_iota(jnp.float32, (1, H), 1)
-            ws = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
-            hs_i = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
-            ws_i = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    def update(states, buf):
+        seg = lambda i: buf[i * n:(i + 1) * n].reshape(nsub, block)
+        f32 = lambda i: jax.lax.bitcast_convert_type(seg(i), jnp.float32)
+        icx, icy = seg(0), seg(1)
+        sub_cx, sub_cy = f32(2), f32(3)
+        sx, sy = f32(4), f32(5)
+        r = seg(6)
+        f0 = f32(7)
+        f1 = f32(8) if with_f1 else None
+        bids = buf[nseg * n: nseg * n + nsub]
 
-            def body(carry, args):
-                (bicx, bicy, bsub_cx, bsub_cy, bsx, bsy, br, bvalid, bval,
-                 bcs, bce, brs, bre) = args
-                dy = hs - bicy[:, None].astype(jnp.float32)
-                rdy = dy - bsub_cy[:, None]
+        ws = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
+        ws_i = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        th_i = jax.lax.broadcasted_iota(jnp.int32, (1, TH), 1)
+
+        def body(carry, args):
+            bicx, bicy, bsub_cx, bsub_cy, bsx, bsy, br, bf0, bf1, bid = args
+            row0 = bid * TH
+            hs_i = th_i + row0
+            if point_mode:
+                my = hs_i == bicy[:, None]
+                mx = ws_i == bicx[:, None]
+                wy = my.astype(jnp.float32)
+                wx = mx.astype(jnp.float32)
+            else:
+                hs = hs_i.astype(jnp.float32)
+                rdy = (hs - bicy[:, None].astype(jnp.float32)
+                       ) - bsub_cy[:, None]
                 qy = rdy / bsy[:, None]
                 wy = jnp.exp(-0.5 * qy * qy)
                 my = (jnp.abs(hs_i - bicy[:, None]) <= br[:, None])
-                my &= (hs_i >= brs[:, None]) & (hs_i < bre[:, None])
-                # The reference drops cells with product weight wx*wy < 1e-6
-                # (glyph_kernels.cu:167); the product cutoff is not separable,
-                # but zeroing per-axis factors below 1e-6 removes the worst of
-                # the deviation (any surviving dropped-by-reference cell then
-                # contributes < 1e-6 weight).
-                my &= wy >= 1e-6
-                wy = jnp.where(my & bvalid[:, None], wy, 0.0)
-
-                dx = ws - bicx[:, None].astype(jnp.float32)
-                rdx = dx - bsub_cx[:, None]
+                my &= (wy >= 1e-6) & (hs_i < H)   # bottom block may overhang
+                rdx = (ws - bicx[:, None].astype(jnp.float32)
+                       ) - bsub_cx[:, None]
                 qx = rdx / bsx[:, None]
                 wx = jnp.exp(-0.5 * qx * qx)
                 mx = (jnp.abs(ws_i - bicx[:, None]) <= br[:, None])
-                mx &= (ws_i >= bcs[:, None]) & (ws_i < bce[:, None])
                 mx &= wx >= 1e-6
+                if multi_tile:
+                    cs, ce, rs, re = _device_tile_clip(jnp, cfg, bicx, bicy)
+                    my &= (hs_i >= rs[:, None]) & (hs_i < re[:, None])
+                    mx &= (ws_i >= cs[:, None]) & (ws_i < ce[:, None])
+                wy = jnp.where(my, wy, 0.0)
                 wx = jnp.where(mx, wx, 0.0)
 
-                cols = []
-                if use_val:
-                    cols.append(wx * bval[:, None])
-                if nf == 2:
-                    cols.append(wx)
-                if not use_val:
-                    cols = [wx]
-                colfac = (jnp.concatenate(cols, axis=1)
-                          if len(cols) > 1 else cols[0])
-                contrib = jax.lax.dot_general(
-                    wy, colfac, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                out = []
-                for f in range(nf):
-                    out.append(carry[f] + contrib[:, f * W:(f + 1) * W])
-                return tuple(out), None
+            # field 0 always scales by f0 (the host bakes Count's 1.0 and
+            # WeightedAverage's val*w into f0); field 1 scales by f1 when
+            # provided, else it is the raw glyph weight wx.
+            cols = [wx * bf0[:, None]]
+            if nf == 2:
+                cols.append(wx * bf1[:, None] if with_f1 else wx)
+            colfac = (jnp.concatenate(cols, axis=1)
+                      if len(cols) > 1 else cols[0])
+            contrib = jax.lax.dot_general(
+                wy, colfac, (((0,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            out = []
+            for f in range(nf):
+                cur = jax.lax.dynamic_slice(carry[f], (row0, 0), (TH, W))
+                out.append(jax.lax.dynamic_update_slice(
+                    carry[f], cur + contrib[:, f * W:(f + 1) * W],
+                    (row0, 0)))
+            return tuple(out), None
 
-            def rb(a):
-                return a[: nb * block].reshape(nb, block)
+        states, _ = jax.lax.scan(
+            body, states,
+            (icx, icy, sub_cx, sub_cy, sx, sy, r, f0,
+             f1 if with_f1 else jnp.zeros_like(f0), bids))
+        return states
 
-            args = tuple(map(rb, (icx, icy, sub_cx, sub_cy, sx, sy, r,
-                                  valid, values, col_s, col_e, row_s, row_e)))
-            states, _ = jax.lax.scan(body, states, args)
-            return states
-
-        return update_full
-
-    return make()
+    return update
 
 
-def _build_gaussian_rotated_update(info: ReductionInfo, C: int, W: int,
-                                   rmax: int):
+GAUSS_ROW_BLOCK = 128          # TH: rows per block in the sorted splat
+_SUB_LADDER = (8, 32, 128, 512, 1024, 2048)   # nsub buckets (bounded jits)
+
+
+def _nsub_bucket(k: int) -> int:
+    for b in _SUB_LADDER:
+        if k <= b:
+            return b
+    return ((k + _SUB_LADDER[-1] - 1) // _SUB_LADDER[-1]) * _SUB_LADDER[-1]
+
+
+def _build_gaussian_rotated_update(info: ReductionInfo, cfg: GridConfig,
+                                   bucket: int, rmax: int):
     """Exact rotated-Gaussian splat: masked (2r+1)^2 window expansion +
     scatter-add, matching glyph_kernels.cu:145-176 including the 1e-6
-    product cutoff. O(N * (2*rmax+1)^2) — for rotated splats only."""
+    product cutoff. Packed layout: [icx | icy | sub_cx | sub_cy | sx | sy |
+    cos | sin | r | values]; invalid points carry r == -1."""
     jax, jnp = _jax()
-    rtype = ReductionType(info.type)
-    two_fields = rtype in (ReductionType.WeightedAverage, ReductionType.Average)
-    use_val = rtype != ReductionType.Count
+    H, W = cfg.height, cfg.width
+    nf, use_val = _glyph_nf(info)
+    multi_tile = cfg.total_tiles() > 1
 
-    def update(states, icx, icy, sub_cx, sub_cy, sx, sy, cos_rot, sin_rot,
-               r, valid, values, col_s, col_e, row_s, row_e):
+    def update(states, buf):
+        seg = lambda i: buf[i * bucket:(i + 1) * bucket]
+        f32 = lambda i: jax.lax.bitcast_convert_type(seg(i), jnp.float32)
+        icx, icy = seg(0), seg(1)
+        sub_cx, sub_cy = f32(2), f32(3)
+        sx, sy = f32(4), f32(5)
+        cos_rot, sin_rot = f32(6), f32(7)
+        r = seg(8)
+        values = f32(9)
+        if multi_tile:
+            cs, ce, rs, re = _device_tile_clip(jnp, cfg, icx, icy)
+        else:
+            cs, ce, rs, re = 0, W, 0, H
+
         s0 = states[0]
-        s1 = states[1] if two_fields else None
+        s1 = states[1] if nf == 2 else None
 
         def body(carry, offsets):
             s0, s1 = carry
@@ -245,10 +396,9 @@ def _build_gaussian_rotated_update(info: ReductionInfo, C: int, W: int,
             qx = rdx_rot / sx
             qy = rdy_rot / sy
             w = jnp.exp(-0.5 * (qx * qx + qy * qy))
-            ok = (valid & (w >= 1e-6)
+            ok = ((w >= 1e-6)
                   & (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r)
-                  & (gx >= col_s) & (gx < col_e)
-                  & (gy >= row_s) & (gy < row_e))
+                  & (gx >= cs) & (gx < ce) & (gy >= rs) & (gy < re))
             w = jnp.where(ok, w, 0.0)
             gys = jnp.where(ok, gy, 0)
             gxs = jnp.where(ok, gx, 0)
@@ -264,42 +414,59 @@ def _build_gaussian_rotated_update(info: ReductionInfo, C: int, W: int,
         dys = jnp.repeat(jnp.arange(-rmax, rmax + 1, dtype=jnp.int32), k)
         dxs = jnp.tile(jnp.arange(-rmax, rmax + 1, dtype=jnp.int32), k)
         (s0, s1), _ = jax.lax.scan(body, (s0, s1), (dys, dxs))
-        return (s0, s1) if two_fields else (s0,)
+        return (s0, s1) if nf == 2 else (s0,)
 
     return update
 
 
-def _build_line_update(info: ReductionInfo, C: int, W: int, max_steps: int):
+def _build_line_update(info: ReductionInfo, cfg: GridConfig, bucket: int,
+                       max_steps: int):
     """Vectorized Bresenham line splat: all lines advance together, one
-    masked scatter-add per step (glyph_kernels.cu:252-279 semantics)."""
+    masked scatter-add per step (glyph_kernels.cu:252-279 semantics).
+    Packed layout: [ix0 | iy0 | ix1 | iy1 | (col | row) | values]; invalid
+    points carry sentinel endpoints that never hit any cell. col/row (the
+    clamped assigned cell, for home-tile clipping) are only packed for
+    multi-tile grids."""
     jax, jnp = _jax()
-    rtype = ReductionType(info.type)
-    two_fields = rtype in (ReductionType.WeightedAverage, ReductionType.Average)
-    use_val = rtype != ReductionType.Count
+    H, W = cfg.height, cfg.width
+    C = H * W
+    nf, use_val = _glyph_nf(info)
+    multi_tile = cfg.total_tiles() > 1
 
-    def update(states, ix0, iy0, ix1, iy1, valid, values,
-               col_s, col_e, row_s, row_e):
+    def update(states, buf):
+        seg = lambda i: buf[i * bucket:(i + 1) * bucket]
+        ix0, iy0, ix1, iy1 = seg(0), seg(1), seg(2), seg(3)
+        k = 4
+        if multi_tile:
+            col, row = seg(4), seg(5)
+            k = 6
+            tw, th = cfg.tile_width, cfg.tile_height
+            cs = (col // tw) * tw
+            rs = (row // th) * th
+            ce = jnp.minimum(cs + tw, W)
+            re = jnp.minimum(rs + th, H)
+        else:
+            cs, ce, rs, re = 0, W, 0, H
+        values = jax.lax.bitcast_convert_type(seg(k), jnp.float32)
+
         s0 = states[0]
-        s1 = states[1] if two_fields else None
+        s1 = states[1] if nf == 2 else None
         ddx = jnp.abs(ix1 - ix0)
         ddy = jnp.abs(iy1 - iy0)
         sx = jnp.where(ix0 < ix1, 1, -1).astype(jnp.int32)
         sy = jnp.where(iy0 < iy1, 1, -1).astype(jnp.int32)
         per_point_max = 2 * (ddx + ddy) + 2
+        n = ix0.shape[0]
 
-        def body(step, carry):
-            s0, s1, cx, cy, err, done = carry
-            active = (~done) & valid & (step <= per_point_max)
-            hit = (active & (cx >= col_s) & (cx < col_e)
-                   & (cy >= row_s) & (cy < row_e))
-            flat = jnp.where(hit, cy * W + cx, 0)
-            w = jnp.where(hit, 1.0, 0.0).astype(jnp.float32)
-            if use_val:
-                s0 = s0.at[flat].add(values * w)
-            else:
-                s0 = s0.at[flat].add(w)
-            if s1 is not None:
-                s1 = s1.at[flat].add(w)
+        # Phase 1: the Bresenham walk only advances integer registers — no
+        # state dependency — so collect every step's target cell and do ONE
+        # scatter at the end (a sequential scatter per step would serialize
+        # max_steps round trips through HBM).
+        def walk(carry, step):
+            cx, cy, err, done = carry
+            active = (~done) & (step <= per_point_max)
+            hit = (active & (cx >= cs) & (cx < ce) & (cy >= rs) & (cy < re))
+            flat = jnp.where(hit, cy * W + cx, C)
             at_end = active & (cx == ix1) & (cy == iy1)
             done = done | at_end
             adv = active & (~at_end)
@@ -309,15 +476,37 @@ def _build_line_update(info: ReductionInfo, C: int, W: int, max_steps: int):
             err = err - jnp.where(step_x, ddy, 0) + jnp.where(step_y, ddx, 0)
             cx = cx + jnp.where(step_x, sx, 0)
             cy = cy + jnp.where(step_y, sy, 0)
-            return (s0, s1, cx, cy, err, done)
+            return (cx, cy, err, done), flat
 
-        n = ix0.shape[0]
-        init = (s0, s1, ix0, iy0, (ddx - ddy).astype(jnp.int32),
+        init = (ix0, iy0, (ddx - ddy).astype(jnp.int32),
                 jnp.zeros((n,), bool))
-        s0, s1, *_ = jax.lax.fori_loop(0, max_steps + 1, body, init)
-        return (s0, s1) if two_fields else (s0,)
+        steps = jax.lax.broadcasted_iota(jnp.int32, (max_steps, 1), 0)[:, 0]
+        _, flats = jax.lax.scan(walk, init, steps)   # (K, B)
+        flat_all = flats.reshape(-1)
+        if use_val:
+            vals_all = jnp.broadcast_to(values[None, :],
+                                        flats.shape).reshape(-1)
+            s0 = s0.at[flat_all].add(vals_all, mode="drop")
+        else:
+            s0 = s0.at[flat_all].add(1.0, mode="drop")
+        if s1 is not None:
+            s1 = s1.at[flat_all].add(1.0, mode="drop")
+        return (s0, s1) if nf == 2 else (s0,)
 
     return update
+
+
+# ---------------------------------------------------------------------------
+# Staged chunks
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StagedChunk:
+    """One device-resident packed chunk plus the jit key that consumes it."""
+    key: tuple
+    buf: object          # jax.Array (nseg * bucket,) int32
+    builder: object      # zero-arg callable building the update fn
+    npoints: int
 
 
 # ---------------------------------------------------------------------------
@@ -327,28 +516,39 @@ def _build_line_update(info: ReductionInfo, C: int, W: int, max_steps: int):
 class TpuEngine:
     """Device-resident accumulation engine for one Pipeline run.
 
-    One instance owns, per ReductionSpec, a tuple of flat (C,) float32 state
-    arrays in device HBM (grid-shaped (H, W) for the separable Gaussian
-    path), plus jit-compiled donated update functions keyed by chunk bucket.
+    One instance owns, per ReductionSpec, a tuple of float32 state arrays in
+    device HBM — flat (C,) for Point/Line scatter, grid-shaped (H, W) for
+    Gaussian matmul splats — plus jit-compiled donated update functions
+    keyed by chunk bucket.
     """
 
     def __init__(self, cfg: GridConfig, plans, device=None):
-        # plans: list of (ReductionSpec, ReductionInfo)
         import jax
+        enable_compilation_cache()
         self.cfg = cfg
         self.plans = plans
         self.device = device or jax.devices()[0]
         self.H = cfg.height
         self.W = cfg.width
         self.C = self.H * self.W
-        self._states = []      # per spec: tuple of jax arrays
-        self._grid_shaped = []  # per spec: True if state is (H, W) not (C,)
+        # Gaussian states are padded to a row-block multiple so the sorted
+        # splat's dynamic slices never clamp at the bottom edge.
+        self.H_pad = ((self.H + GAUSS_ROW_BLOCK - 1)
+                      // GAUSS_ROW_BLOCK) * GAUSS_ROW_BLOCK
+        self._states = []
+        self._grid_shaped = []
         self._jits = {}
+        from .glyph import GlyphType
         for spec, info in plans:
             glyph_t = GlyphType(spec.glyph.type)
-            grid_shaped = (glyph_t == GlyphType.Gaussian)
+            # Gaussian splats and sum-family Point specs run the sorted
+            # matmul path over (H_pad, W) states; Line and Max/Min/
+            # MostRecent Point specs use flat scatter states.
+            grid_shaped = (glyph_t == GlyphType.Gaussian
+                           or (glyph_t == GlyphType.Point
+                               and info.scatter_kind == "sum"))
             self._grid_shaped.append(grid_shaped)
-            shape = (self.H, self.W) if grid_shaped else (self.C,)
+            shape = (self.H_pad, self.W) if grid_shaped else (self.C,)
             st = tuple(
                 jax.device_put(
                     np.full(shape, info.identity[f], dtype=np.float32),
@@ -358,142 +558,302 @@ class TpuEngine:
 
     # -- state access ---------------------------------------------------------
 
-    def load_state(self, spec_idx: int, fields_hw: list[np.ndarray]) -> None:
-        """Replace device state from host (K, H, W) field arrays (resume)."""
+    def load_state(self, spec_idx: int, fields_hw) -> None:
+        """Replace device state from host (H, W) field arrays (resume)."""
         import jax
+        _, info = self.plans[spec_idx]
         grid_shaped = self._grid_shaped[spec_idx]
         st = []
-        for f in fields_hw:
+        for fi, f in enumerate(fields_hw):
             a = np.asarray(f, dtype=np.float32)
+            if grid_shaped and self.H_pad != self.H:
+                pad = np.full((self.H_pad - self.H, self.W),
+                              info.identity[fi], np.float32)
+                a = np.concatenate([a, pad], axis=0)
             if not grid_shaped:
                 a = a.reshape(-1)
             st.append(jax.device_put(a, self.device))
         self._states[spec_idx] = tuple(st)
 
-    def fetch_state(self, spec_idx: int) -> list[np.ndarray]:
+    def fetch_state(self, spec_idx: int):
         """Download state to host as a list of (H, W) float32 arrays."""
-        out = []
-        for f in self._states[spec_idx]:
-            a = np.asarray(f)
-            out.append(a.reshape(self.H, self.W))
-        return out
+        if self._grid_shaped[spec_idx]:
+            return [np.asarray(f)[: self.H]
+                    for f in self._states[spec_idx]]
+        return [np.asarray(f).reshape(self.H, self.W)
+                for f in self._states[spec_idx]]
 
-    # -- compiled function cache ----------------------------------------------
-
-    def _get_jit(self, key, builder):
-        fn = self._jits.get(key)
-        if fn is None:
-            import jax
-            fn = jax.jit(builder(), donate_argnums=(0,))
-            self._jits[key] = fn
-        return fn
-
-    # -- ingest ------------------------------------------------------------------
-
-    def ingest_point(self, spec_idx: int, cells: np.ndarray,
-                     valid: np.ndarray, values: np.ndarray,
-                     weights: np.ndarray | None,
-                     timestamps: np.ndarray | None) -> None:
-        """Accumulate one already-assigned chunk via Point-glyph scatter."""
+    def finalize_band(self, spec_idx: int) -> np.ndarray:
+        """Finalize on device, fetch only the single output band (halves the
+        device→host traffic for 2-field states)."""
         import jax
         _, info = self.plans[spec_idx]
-        n = len(cells)
-        for start in range(0, max(n, 1), CHUNK_BUCKETS[-1]):
-            end = min(start + CHUNK_BUCKETS[-1], n)
-            b = bucket_size(end - start)
-            fn = self._get_jit(
-                ("point", spec_idx, b),
-                lambda: _build_point_update(info, self.C))
-            dv = partial(self._pad_put, start, end, b)
-            self._states[spec_idx] = fn(
-                self._states[spec_idx],
-                dv(cells, np.int32),
-                dv(valid, bool),
-                dv(values, np.float32),
-                dv(weights, np.float32) if weights is not None else
-                dv(np.ones(0), np.float32, fill=1.0, n=end - start),
-                dv(timestamps, np.float32) if timestamps is not None else
-                dv(np.ones(0), np.float32, fill=-FLT_MAX, n=end - start),
-            )
+        key = ("finalize", spec_idx)
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = jax.jit(lambda st: info.finalize_arrays(list(st)))
+            self._jits[key] = fn
+        band = np.asarray(fn(self._states[spec_idx]))
+        band = band.reshape(-1)[: self.C].reshape(self.H, self.W) \
+            if not self._grid_shaped[spec_idx] else band[: self.H]
+        return band
 
-    def ingest_gaussian(self, spec_idx: int, *, icx, icy, sub_cx, sub_cy,
-                        sx, sy, cos_rot, sin_rot, r, valid, values,
-                        col_s, col_e, row_s, row_e, rotated: bool) -> None:
-        spec, info = self.plans[spec_idx]
-        n = len(icx)
-        for start in range(0, max(n, 1), CHUNK_BUCKETS[-1]):
-            end = min(start + CHUNK_BUCKETS[-1], n)
-            b = bucket_size(end - start)
-            dv = partial(self._pad_put, start, end, b)
-            if rotated:
-                rmax = int(np.max(r[start:end])) if end > start else 0
-                fn = self._get_jit(
-                    ("gauss_rot", spec_idx, b, rmax),
-                    lambda: _build_gaussian_rotated_update(
-                        info, self.C, self.W, rmax))
-                self._states[spec_idx] = fn(
-                    self._states[spec_idx],
-                    dv(icx, np.int32), dv(icy, np.int32),
-                    dv(sub_cx, np.float32), dv(sub_cy, np.float32),
-                    dv(sx, np.float32, fill=1.0),
-                    dv(sy, np.float32, fill=1.0),
-                    dv(cos_rot, np.float32, fill=1.0),
-                    dv(sin_rot, np.float32),
-                    dv(r, np.int32), dv(valid, bool),
-                    dv(values, np.float32),
-                    dv(col_s, np.int32), dv(col_e, np.int32),
-                    dv(row_s, np.int32), dv(row_e, np.int32))
-            else:
-                block = min(b, 8_192)
-                fn = self._get_jit(
-                    ("gauss_sep", spec_idx, b, block),
-                    lambda: _build_gaussian_separable_update(
-                        info, self.H, self.W, block))
-                self._states[spec_idx] = fn(
-                    self._states[spec_idx],
-                    dv(icx, np.int32), dv(icy, np.int32),
-                    dv(sub_cx, np.float32), dv(sub_cy, np.float32),
-                    dv(sx, np.float32, fill=1.0),
-                    dv(sy, np.float32, fill=1.0),
-                    dv(r, np.int32), dv(valid, bool),
-                    dv(values, np.float32),
-                    dv(col_s, np.int32), dv(col_e, np.int32),
-                    dv(row_s, np.int32), dv(row_e, np.int32))
+    # -- staging ------------------------------------------------------------------
 
-    def ingest_line(self, spec_idx: int, *, ix0, iy0, ix1, iy1, valid,
-                    values, col_s, col_e, row_s, row_e,
-                    max_steps: int) -> None:
-        spec, info = self.plans[spec_idx]
-        n = len(ix0)
-        for start in range(0, max(n, 1), CHUNK_BUCKETS[-1]):
-            end = min(start + CHUNK_BUCKETS[-1], n)
-            b = bucket_size(end - start)
-            dv = partial(self._pad_put, start, end, b)
-            fn = self._get_jit(
-                ("line", spec_idx, b, max_steps),
-                lambda: _build_line_update(info, self.C, self.W, max_steps))
-            self._states[spec_idx] = fn(
-                self._states[spec_idx],
-                dv(ix0, np.int32), dv(iy0, np.int32),
-                dv(ix1, np.int32), dv(iy1, np.int32),
-                dv(valid, bool), dv(values, np.float32),
-                dv(col_s, np.int32), dv(col_e, np.int32),
-                dv(row_s, np.int32), dv(row_e, np.int32))
+    def _pack(self, bucket: int, segs) -> np.ndarray:
+        """Pad each host segment to bucket length and concatenate as i32."""
+        out = np.empty(len(segs) * bucket, dtype=np.int32)
+        for i, (arr, fill) in enumerate(segs):
+            a = np.asarray(arr)
+            if a.dtype == np.float32:
+                a = a.view(np.int32)
+                fill = np.float32(fill).view(np.int32) if fill else 0
+            m = len(a)
+            out[i * bucket:i * bucket + m] = a
+            if m < bucket:
+                out[i * bucket + m:(i + 1) * bucket] = fill
+        return out
 
-    # -- helpers ----------------------------------------------------------------
-
-    def _pad_put(self, start, end, bucket, arr, dtype, fill=0, n=None):
-        """Slice [start:end), pad to bucket with `fill`, move to device."""
+    def _put(self, buf: np.ndarray):
         import jax
-        m = (end - start) if n is None else n
-        if arr is None or len(arr) == 0:
-            a = np.full(m, fill, dtype=dtype)
+        return jax.device_put(buf, self.device)
+
+    # -- sorted row-block bucketing (shared by Point and Gaussian fast paths) --
+
+    def _bucket_rowblocks(self, blk0, blk1, block, seg_arrays):
+        """Lay entries out row-block-contiguously.
+
+        blk0/blk1: inclusive per-point target block ranges (halo); points
+        spanning several blocks are duplicated. Each block's entry run is
+        padded to a multiple of `block`. Returns (buf, nsub, E) where buf is
+        the packed int32 buffer [seg0 | seg1 | ... | bids].
+
+        seg_arrays: list of (array, fill) — gathered by entry, padded with
+        fill (f32 arrays are bit-viewed into the i32 buffer)."""
+        nblocks = self.H_pad // GAUSS_ROW_BLOCK
+        n = len(blk0)
+        k = (blk1 - blk0 + 1).astype(np.int64)
+        if (k == 1).all():
+            idx = np.arange(n, dtype=np.int64)
+            eb = blk0.astype(np.int64)
         else:
-            a = np.asarray(arr[start:end], dtype=dtype)
-        if len(a) < bucket:
-            pad = np.full(bucket - len(a), fill, dtype=dtype)
-            a = np.concatenate([a, pad])
-        return jax.device_put(a, self.device)
+            idx = np.repeat(np.arange(n, dtype=np.int64), k)
+            starts = np.zeros(n, np.int64)
+            np.cumsum(k[:-1], out=starts[1:])
+            eb = blk0[idx] + (np.arange(len(idx), dtype=np.int64)
+                              - np.repeat(starts, k))
+        order = np.argsort(eb, kind="stable")
+        idx_s = idx[order]
+        counts = np.bincount(eb[order], minlength=nblocks)
+
+        nsub_real = int(np.sum((counts + block - 1) // block))
+        nsub = _nsub_bucket(max(nsub_real, 1))
+        E = nsub * block
+        slots = np.full(E, -1, np.int64)
+        bids = np.zeros(nsub, np.int32)
+        pos = 0
+        epos = 0
+        for bidx in range(nblocks):
+            c = int(counts[bidx])
+            if c == 0:
+                continue
+            pc = ((c + block - 1) // block) * block
+            slots[epos:epos + c] = np.arange(pos, pos + c)
+            bids[epos // block:(epos + pc) // block] = bidx
+            pos += c
+            epos += pc
+
+        sel = idx_s[np.maximum(slots, 0)]
+        live = slots >= 0
+        all_live = bool(live.all())
+
+        buf = np.empty(len(seg_arrays) * E + nsub, dtype=np.int32)
+        for i, (arr, fill) in enumerate(seg_arrays):
+            a = np.asarray(arr)[sel]
+            if not all_live:
+                a = np.where(live, a, np.asarray(fill, a.dtype))
+            if a.dtype != np.int32:
+                a = (a.astype(np.float32).view(np.int32)
+                     if a.dtype.kind == "f" else a.astype(np.int32))
+            buf[i * E:(i + 1) * E] = a
+        buf[len(seg_arrays) * E:] = bids
+        return buf, nsub, E
+
+    def _point_fields(self, info, values, weights, n):
+        """Host-side field contributions (f0, f1|None) for sum-family ops."""
+        rtype = ReductionType(info.type)
+        values = np.asarray(values, dtype=np.float32)
+        if rtype == ReductionType.Sum:
+            return values, None
+        if rtype == ReductionType.Count:
+            return np.ones(n, np.float32), None
+        if rtype == ReductionType.Average:
+            return values, np.ones(n, np.float32)
+        # WeightedAverage
+        w = (np.asarray(weights, np.float32) if weights is not None
+             else np.ones(n, np.float32))
+        return values * w, w
+
+    def prepare_point(self, spec_idx: int, cells: np.ndarray,
+                      valid: np.ndarray, values: np.ndarray,
+                      weights=None, timestamps=None, block: int = 4_096):
+        """Stage Point-glyph chunks.
+
+        Sum-family ops go through the row-block-sorted one-hot matmul (the
+        MXU path); Max/Min/MostRecent use XLA scatter with invalid points
+        encoded as cell == C."""
+        _, info = self.plans[spec_idx]
+        n = len(cells)
+        if info.scatter_kind == "sum":
+            TH = GAUSS_ROW_BLOCK
+            col = (cells % np.int32(self.W)).astype(np.int32)
+            row = (cells // np.int32(self.W)).astype(np.int32)
+            col = np.where(valid, col, np.int32(-1))
+            row = np.where(valid, row, np.int32(-1))
+            f0, f1 = self._point_fields(info, values, weights, n)
+            with_f1 = f1 is not None
+            blk = np.maximum(row, 0) // TH
+            zeros = np.zeros(n, np.float32)
+            segs = [(col, -1), (row, -1), (zeros, 0), (zeros, 0),
+                    (zeros, 1.0), (zeros, 1.0),
+                    (np.zeros(n, np.int32), 0), (f0, 0)]
+            if with_f1:
+                segs.append((f1, 0))
+            buf, nsub, E = self._bucket_rowblocks(blk, blk, block, segs)
+            key = ("point_mm", spec_idx, nsub, block, TH, with_f1)
+            builder = (lambda info=info, nsub=nsub, block=block, TH=TH,
+                       wf1=with_f1:
+                       _build_sorted_matmul_update(
+                           info, self.cfg, nsub, block, TH,
+                           point_mode=True, with_f1=wf1))
+            return [StagedChunk(key, self._put(buf), builder, n)]
+
+        # scatter path (max/min/argmax_ts)
+        cells = np.where(valid, cells, np.int32(self.C)).astype(np.int32)
+        values = np.asarray(values, dtype=np.float32)
+        staged = []
+        for start, end in chunk_ranges(n):
+            b = bucket_size(end - start)
+            segs = [(cells[start:end], self.C), (values[start:end], 0)]
+            if info.uses_weight:
+                w = (np.asarray(weights[start:end], np.float32)
+                     if weights is not None
+                     else np.ones(end - start, np.float32))
+                segs.append((w, 0))
+            if info.uses_timestamp:
+                t = (np.asarray(timestamps[start:end], np.float32)
+                     if timestamps is not None
+                     else np.full(end - start, -FLT_MAX, np.float32))
+                segs.append((t, 0))
+            key = ("point", spec_idx, b)
+            builder = (lambda info=info, b=b:
+                       _build_point_update_packed(info, self.C, b))
+            staged.append(StagedChunk(key, self._put(self._pack(b, segs)),
+                                      builder, end - start))
+        return staged
+
+    def prepare_gaussian(self, spec_idx: int, gp, valid, values,
+                         block: int = 4_096):
+        """Stage Gaussian chunks (gp: routing.GaussianParams).
+
+        Rotation-free splats go through the row-block-sorted fast path:
+        points are bucketed (with halo duplication) by GAUSS_ROW_BLOCK-row
+        blocks on the host, each block padded to a multiple of `block`, so
+        every device sub-chunk matmuls against just TH rows."""
+        _, info = self.plans[spec_idx]
+        n = len(values)
+        r = np.where(valid, gp.r, np.int32(-1)).astype(np.int32)
+        values = np.asarray(values, dtype=np.float32)
+        if gp.rotated:
+            staged = []
+            for start, end in chunk_ranges(n):
+                b = bucket_size(end - start)
+                sl = slice(start, end)
+                rmax = max(int(r[sl].max()) if end > start else 0, 0)
+                segs = [(gp.icx[sl], 0), (gp.icy[sl], 0),
+                        (gp.sub_cx[sl], 0), (gp.sub_cy[sl], 0),
+                        (gp.sx[sl], 1.0), (gp.sy[sl], 1.0),
+                        (gp.cos_rot[sl], 1.0), (gp.sin_rot[sl], 0),
+                        (r[sl], -1), (values[sl], 0)]
+                key = ("gauss_rot", spec_idx, b, rmax)
+                builder = (lambda info=info, b=b, rmax=rmax:
+                           _build_gaussian_rotated_update(
+                               info, self.cfg, b, rmax))
+                staged.append(StagedChunk(
+                    key, self._put(self._pack(b, segs)), builder,
+                    end - start))
+            return staged
+
+        TH = GAUSS_ROW_BLOCK
+        nblocks = self.H_pad // TH
+        icy = gp.icy.astype(np.int64)
+        blk0 = np.where(valid, np.clip((icy - r) // TH, 0, nblocks - 1), 0)
+        blk1 = np.where(valid, np.clip((icy + r) // TH, 0, nblocks - 1), 0)
+        rtype = ReductionType(info.type)
+        f0 = (np.ones(n, np.float32)
+              if rtype == ReductionType.Count else values)
+        segs = [(gp.icx, 0), (gp.icy, 0),
+                (gp.sub_cx, 0), (gp.sub_cy, 0),
+                (gp.sx, 1.0), (gp.sy, 1.0), (r, -1), (f0, 0)]
+        buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs)
+        key = ("gauss_sorted", spec_idx, nsub, block, TH)
+        builder = (lambda info=info, nsub=nsub, block=block, TH=TH:
+                   _build_sorted_matmul_update(
+                       info, self.cfg, nsub, block, TH,
+                       point_mode=False, with_f1=False))
+        return [StagedChunk(key, self._put(buf), builder, n)]
+
+    def prepare_line(self, spec_idx: int, lp, valid, values, col, row):
+        """Stage Line chunks (lp: routing.LineParams)."""
+        _, info = self.plans[spec_idx]
+        s = _LINE_SENTINEL
+        ix0 = np.where(valid, lp.ix0, s).astype(np.int32)
+        iy0 = np.where(valid, lp.iy0, s).astype(np.int32)
+        ix1 = np.where(valid, lp.ix1, s).astype(np.int32)
+        iy1 = np.where(valid, lp.iy1, s).astype(np.int32)
+        values = np.asarray(values, dtype=np.float32)
+        multi_tile = self.cfg.total_tiles() > 1
+        staged = []
+        for start, end in chunk_ranges(len(ix0)):
+            b = bucket_size(end - start)
+            sl = slice(start, end)
+            segs = [(ix0[sl], s), (iy0[sl], s), (ix1[sl], s), (iy1[sl], s)]
+            if multi_tile:
+                segs += [(col[sl], 0), (row[sl], 0)]
+            segs.append((values[sl], 0))
+            key = ("line", spec_idx, b, lp.k_cells)
+            builder = (lambda info=info, b=b, ms=lp.k_cells:
+                       _build_line_update(info, self.cfg, b, ms))
+            staged.append(StagedChunk(key, self._put(self._pack(b, segs)),
+                                      builder, end - start))
+        return staged
+
+    # -- commit ----------------------------------------------------------------
+
+    def commit(self, spec_idx: int, staged) -> None:
+        """Run the jitted update for each staged chunk (device compute only)."""
+        import jax
+        for chunk in staged:
+            fn = self._jits.get(chunk.key)
+            if fn is None:
+                fn = jax.jit(chunk.builder(), donate_argnums=(0,))
+                self._jits[chunk.key] = fn
+            self._states[spec_idx] = fn(self._states[spec_idx], chunk.buf)
+
+    # -- one-shot ingest ---------------------------------------------------------
+
+    def ingest_point(self, spec_idx, cells, valid, values,
+                     weights=None, timestamps=None) -> None:
+        self.commit(spec_idx, self.prepare_point(
+            spec_idx, cells, valid, values, weights, timestamps))
+
+    def ingest_gaussian(self, spec_idx, gp, valid, values) -> None:
+        self.commit(spec_idx, self.prepare_gaussian(
+            spec_idx, gp, valid, values))
+
+    def ingest_line(self, spec_idx, lp, valid, values, col, row) -> None:
+        self.commit(spec_idx, self.prepare_line(
+            spec_idx, lp, valid, values, col, row))
 
     def block_until_ready(self):
         import jax

@@ -1,0 +1,247 @@
+"""
+Multi-chip ingest — jax.sharding Mesh + shard_map + XLA collectives.
+
+The reference is single-device (SURVEY.md §2.7: no NCCL/MPI anywhere); its
+only cross-unit "communication" is PCIe memcpy. This module is the TPU-native
+scale-out the reference never had, built on the fact that every registered
+reduction has an associative, commutative merge (builtin_ops.h merge
+functions), so cross-chip combination is a psum/pmax-style tree over ICI.
+
+Two mesh axes:
+
+  * ``dp``  — data parallel over points: each chip ingests a shard of the
+    chunk; per-chip deltas are merged with psum (Sum/Count/Average/
+    WeightedAverage), pmax/pmin (Max/Min), or a lexicographic
+    (timestamp, device) reduction (MostRecent).
+  * ``sp``  — spatial parallel over grid rows: the state is sharded
+    row-wise (the analogue of tensor parallelism for this workload); each
+    chip owns a contiguous row block and accumulates only the points that
+    land in it. No collective is needed on this axis for Point glyphs —
+    cells are uniquely owned. (Gaussian/Line footprints that straddle row
+    blocks are handled by letting every sp shard see all points and mask
+    rows to its block.)
+
+The grid state is laid out (H, W) and sharded PartitionSpec('sp', None);
+point inputs are sharded PartitionSpec(('dp',)) on the leading axis and
+replicated over 'sp'.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ..core.types import ReductionType
+from ..ops.reduction import FLT_MAX, ReductionInfo
+
+__all__ = ["make_mesh", "sharded_point_step", "sharded_gaussian_step",
+           "replicate_state", "shard_points"]
+
+
+def _jax():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+def make_mesh(devices=None, dp: int | None = None, sp: int | None = None):
+    """Build a ('dp', 'sp') mesh over the given devices.
+
+    By default uses all devices on the dp axis. dp*sp must equal the device
+    count."""
+    import jax
+    from jax.sharding import Mesh
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None and sp is None:
+        dp, sp = n, 1
+    elif dp is None:
+        dp = n // sp
+    elif sp is None:
+        sp = n // dp
+    if dp * sp != n:
+        raise ValueError(f"dp({dp}) * sp({sp}) != devices({n})")
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def replicate_state(mesh, states, H, W):
+    """Place per-field (H, W) state arrays sharded row-wise over 'sp' and
+    replicated over 'dp'."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("sp", None))
+    return tuple(jax.device_put(np.asarray(s, np.float32).reshape(H, W), sh)
+                 for s in states)
+
+
+def shard_points(mesh, *arrays):
+    """Place 1-D per-point arrays sharded over 'dp', replicated over 'sp'."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("dp"))
+    return tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
+
+
+def sharded_point_step(info: ReductionInfo, H: int, W: int, mesh):
+    """Build a jitted multi-chip Point-glyph ingest step.
+
+    f(states, rows, cols, valid, values, weights, timestamps) -> states
+
+    states: tuple of (H, W) f32 sharded P('sp', None); point arrays sharded
+    P('dp'). Deltas accumulate locally per chip and merge over 'dp' with the
+    op's collective; 'sp' needs no collective (each chip owns its rows).
+    """
+    jax, jnp = _jax()
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    kind = info.scatter_kind
+    n_sp = mesh.shape["sp"]
+    local_h = H // n_sp
+    if local_h * n_sp != H:
+        raise ValueError(f"grid height {H} not divisible by sp={n_sp}")
+
+    def local(states, rows, cols, valid, values, weights, timestamps):
+        sp_idx = jax.lax.axis_index("sp")
+        row_off = sp_idx * local_h
+        lrows = rows - row_off
+        mine = valid & (lrows >= 0) & (lrows < local_h)
+        lrows = jnp.where(mine, lrows, 0)
+        lcols = jnp.where(mine, cols, 0)
+        fields = info.fields(values, weights, timestamps)
+        if kind == "sum":
+            out = []
+            for f, fv in enumerate(fields):
+                fv = jnp.where(mine, fv, 0.0).astype(jnp.float32)
+                delta = jnp.zeros_like(states[f]).at[lrows, lcols].add(fv)
+                out.append(states[f] + jax.lax.psum(delta, "dp"))
+            return tuple(out)
+        if kind in ("max", "min"):
+            ident = -FLT_MAX if kind == "max" else FLT_MAX
+            fv = jnp.where(mine, fields[0], ident).astype(jnp.float32)
+            delta = jnp.full_like(states[0], ident)
+            delta = (delta.at[lrows, lcols].max(fv) if kind == "max"
+                     else delta.at[lrows, lcols].min(fv))
+            merged = (jax.lax.pmax(delta, "dp") if kind == "max"
+                      else jax.lax.pmin(delta, "dp"))
+            combine = jnp.maximum if kind == "max" else jnp.minimum
+            return (combine(states[0], merged),)
+        if kind == "argmax_ts":
+            return _argmax_ts_sharded(jax, jnp, states, lrows, lcols, mine,
+                                      fields[0], fields[1], local_h, W)
+        raise NotImplementedError(kind)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(P("sp", None) for _ in range(info.state_floats)),
+                  P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=tuple(P("sp", None) for _ in range(info.state_floats)),
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def _argmax_ts_sharded(jax, jnp, states, lrows, lcols, mine, values, ts,
+                       local_h, W):
+    """MostRecent across chips: local 3-scatter argmax, then a
+    (timestamp, device-id) lexicographic merge over 'dp'. Existing state
+    wins timestamp ties; among chips the lowest dp index wins; within a
+    chip the earliest point wins."""
+    cur_v, cur_t = states
+    n = lrows.shape[0]
+    ts = jnp.where(mine, ts, -FLT_MAX).astype(jnp.float32)
+    values = values.astype(jnp.float32)
+    # local winner per cell
+    m = jnp.full((local_h, W), -FLT_MAX, jnp.float32).at[lrows, lcols].max(ts)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    big = jnp.int32(2**31 - 1)
+    is_win = mine & (ts == m[lrows, lcols]) & (ts > -FLT_MAX)
+    idxm = jnp.where(is_win, idx, big)
+    widx = jnp.full((local_h, W), big, jnp.int32).at[lrows, lcols].min(idxm)
+    final = is_win & (idx == widx[lrows, lcols])
+    safe_r = jnp.where(final, lrows, local_h)
+    loc_v = jnp.full((local_h, W), np.nan, jnp.float32).at[
+        safe_r, lcols].set(values, mode="drop")
+    # cross-chip: max ts wins, lowest dp index breaks ties
+    gm = jax.lax.pmax(m, "dp")
+    dp_idx = jax.lax.axis_index("dp")
+    my_win = (m == gm) & (gm > -FLT_MAX)
+    windev = jax.lax.pmin(jnp.where(my_win, dp_idx, big), "dp")
+    contrib = jnp.where(my_win & (dp_idx == windev), loc_v, 0.0)
+    gv = jax.lax.psum(contrib, "dp")
+    # merge into carried state (strictly greater replaces)
+    take = gm > cur_t
+    return (jnp.where(take, gv, cur_v), jnp.where(take, gm, cur_t))
+
+
+def sharded_gaussian_step(info: ReductionInfo, H: int, W: int, mesh,
+                          block: int = 2048):
+    """Multi-chip separable Gaussian splat (rotation-free): each chip runs
+    the soft-one-hot matmul over its dp shard of points restricted to its
+    sp row block, then deltas psum over 'dp'.
+
+    f(states, icx, icy, sub_cx, sub_cy, sx, sy, r, valid, values) -> states
+    """
+    jax, jnp = _jax()
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rtype = ReductionType(info.type)
+    nf = 2 if rtype in (ReductionType.WeightedAverage,
+                        ReductionType.Average) else 1
+    use_val = rtype != ReductionType.Count
+    n_sp = mesh.shape["sp"]
+    local_h = H // n_sp
+
+    def local(states, icx, icy, sub_cx, sub_cy, sx, sy, r, valid, values):
+        sp_idx = jax.lax.axis_index("sp")
+        row_off = (sp_idx * local_h).astype(jnp.int32)
+        n = icx.shape[0]
+        nb = max(n // block, 1)
+
+        hs_i = jax.lax.broadcasted_iota(jnp.int32, (1, local_h), 1) + row_off
+        ws_i = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        hs = hs_i.astype(jnp.float32)
+        ws = ws_i.astype(jnp.float32)
+
+        def body(carry, args):
+            (bicx, bicy, bsub_cx, bsub_cy, bsx, bsy, br, bvalid, bval) = args
+            rdy = (hs - bicy[:, None].astype(jnp.float32)) - bsub_cy[:, None]
+            qy = rdy / bsy[:, None]
+            wy = jnp.exp(-0.5 * qy * qy)
+            my = (jnp.abs(hs_i - bicy[:, None]) <= br[:, None]) & (wy >= 1e-6)
+            wy = jnp.where(my & bvalid[:, None], wy, 0.0)
+            rdx = (ws - bicx[:, None].astype(jnp.float32)) - bsub_cx[:, None]
+            qx = rdx / bsx[:, None]
+            wx = jnp.exp(-0.5 * qx * qx)
+            mx = (jnp.abs(ws_i - bicx[:, None]) <= br[:, None]) & (wx >= 1e-6)
+            wx = jnp.where(mx, wx, 0.0)
+            cols = ([wx * bval[:, None], wx] if nf == 2
+                    else ([wx * bval[:, None]] if use_val else [wx]))
+            colfac = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+            contrib = jax.lax.dot_general(
+                wy, colfac, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            return tuple(carry[f] + contrib[:, f * W:(f + 1) * W]
+                         for f in range(nf)), None
+
+        def rb(a):
+            return a[: nb * block].reshape(nb, block)
+
+        zeros = tuple(
+            jax.lax.pvary(jnp.zeros((local_h, W), jnp.float32), ("dp", "sp"))
+            for _ in range(nf))
+        deltas, _ = jax.lax.scan(body, zeros, tuple(map(rb, (
+            icx, icy, sub_cx, sub_cy, sx, sy, r, valid, values))))
+        return tuple(states[f] + jax.lax.psum(deltas[f], "dp")
+                     for f in range(nf))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(P("sp", None) for _ in range(nf)),) + tuple(
+            P("dp") for _ in range(9)),
+        out_specs=tuple(P("sp", None) for _ in range(nf)),
+    )
+    return jax.jit(fn, donate_argnums=(0,))

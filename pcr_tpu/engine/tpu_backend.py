@@ -269,18 +269,25 @@ def _build_sorted_matmul_update(info: ReductionInfo, cfg: GridConfig,
     # term), so point mode always takes the faster HIGH path; Gaussian soft
     # factors default to HIGHEST (6-pass, ~f32) for the parity bar.
     prec = (jax.lax.Precision.HIGH if point_mode else matmul_precision())
-    nseg = 8 + (1 if with_f1 else 0)
+    # Point mode packs only [icx | icy | f0 | (f1)] — the transfer link is
+    # the scarce resource, never ship constant segments.
+    nseg = (3 if point_mode else 8) + (1 if with_f1 else 0)
     n = nsub * block
 
     def update(states, buf):
         seg = lambda i: buf[i * n:(i + 1) * n].reshape(nsub, block)
         f32 = lambda i: jax.lax.bitcast_convert_type(seg(i), jnp.float32)
         icx, icy = seg(0), seg(1)
-        sub_cx, sub_cy = f32(2), f32(3)
-        sx, sy = f32(4), f32(5)
-        r = seg(6)
-        f0 = f32(7)
-        f1 = f32(8) if with_f1 else None
+        if point_mode:
+            sub_cx = sub_cy = sx = sy = r = icx   # unused
+            f0 = f32(2)
+            f1 = f32(3) if with_f1 else None
+        else:
+            sub_cx, sub_cy = f32(2), f32(3)
+            sx, sy = f32(4), f32(5)
+            r = seg(6)
+            f0 = f32(7)
+            f1 = f32(8) if with_f1 else None
         bids = buf[nseg * n: nseg * n + nsub]
 
         ws = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
@@ -642,9 +649,17 @@ class TpuEngine:
             np.cumsum(k[:-1], out=starts[1:])
             eb = blk0[idx] + (np.arange(len(idx), dtype=np.int64)
                               - np.repeat(starts, k))
-        order = np.argsort(eb, kind="stable")
-        idx_s = idx[order]
-        counts = np.bincount(eb[order], minlength=nblocks)
+        # Block-bucket: for few blocks, per-block index extraction
+        # (O(nblocks * n) linear scans) beats a sort on a slow host;
+        # many blocks use numpy's stable (radix) argsort.
+        if nblocks <= 16:
+            per_block = [idx[eb == b] for b in range(nblocks)]
+            idx_s = np.concatenate(per_block) if nblocks > 1 else idx
+            counts = np.array([len(p) for p in per_block], dtype=np.int64)
+        else:
+            order = np.argsort(eb, kind="stable")
+            idx_s = idx[order]
+            counts = np.bincount(eb[order], minlength=nblocks)
 
         nsub_real = int(np.sum((counts + block - 1) // block))
         nsub = _nsub_bucket(max(nsub_real, 1))
@@ -688,7 +703,8 @@ class TpuEngine:
         if rtype == ReductionType.Count:
             return np.ones(n, np.float32), None
         if rtype == ReductionType.Average:
-            return values, np.ones(n, np.float32)
+            # count field comes free from the implicit one-hot column
+            return values, None
         # WeightedAverage
         w = (np.asarray(weights, np.float32) if weights is not None
              else np.ones(n, np.float32))
@@ -713,10 +729,7 @@ class TpuEngine:
             f0, f1 = self._point_fields(info, values, weights, n)
             with_f1 = f1 is not None
             blk = np.maximum(row, 0) // TH
-            zeros = np.zeros(n, np.float32)
-            segs = [(col, -1), (row, -1), (zeros, 0), (zeros, 0),
-                    (zeros, 1.0), (zeros, 1.0),
-                    (np.zeros(n, np.int32), 0), (f0, 0)]
+            segs = [(col, -1), (row, -1), (f0, 0)]
             if with_f1:
                 segs.append((f1, 0))
             buf, nsub, E = self._bucket_rowblocks(blk, blk, block, segs)

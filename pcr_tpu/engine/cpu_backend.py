@@ -146,6 +146,8 @@ def accumulate_gaussian_cpu(
     sigma_y: np.ndarray | None,
     rotation: np.ndarray | None,
     col: np.ndarray, row: np.ndarray,  # clamped assigned cells (routing)
+    region=None,                       # (cs, rs, cols, rows): write into a
+                                       # tile-local state block (out-of-core)
 ) -> Status:
     st = check_glyph_reduction(rtype)
     if not st.ok():
@@ -162,7 +164,11 @@ def accumulate_gaussian_cpu(
     r_p = gp.r.astype(np.int64)
 
     col_s, row_s, col_e, row_e = routing.home_tile_ranges(cfg, col, row)
-    W = cfg.width
+    if region is not None:
+        off_c, off_r, W = region[0], region[1], region[2]
+    else:
+        off_c = off_r = 0
+        W = cfg.width
     vals32 = values.astype(np.float32)
 
     for dy in range(-rmax, rmax + 1):
@@ -185,7 +191,7 @@ def accumulate_gaussian_cpu(
             act = act & (w >= np.float32(1e-6))
             if not act.any():
                 continue
-            flat = gy[act] * W + gx[act]
+            flat = (gy[act] - off_r) * W + (gx[act] - off_c)
             _glyph_update(state, kind_int, flat, vals32[act], w[act])
 
     return Status.success()
@@ -205,6 +211,7 @@ def accumulate_line_cpu(
     direction: np.ndarray | None,
     half_length: np.ndarray | None,
     col: np.ndarray, row: np.ndarray,
+    region=None,                       # (cs, rs, cols, rows) tile-local block
 ) -> Status:
     st = check_glyph_reduction(rtype)
     if not st.ok():
@@ -231,7 +238,11 @@ def accumulate_line_cpu(
     global_max = lp.max_steps
 
     col_s, row_s, col_e, row_e = routing.home_tile_ranges(cfg, col, row)
-    W = cfg.width
+    if region is not None:
+        off_c, off_r, W = region[0], region[1], region[2]
+    else:
+        off_c = off_r = 0
+        W = cfg.width
     vals32 = values.astype(np.float32)
     ones = np.ones(n, dtype=np.float32)
 
@@ -243,7 +254,7 @@ def accumulate_line_cpu(
         hit = (active & (cx >= col_s) & (cx < col_e)
                & (cy >= row_s) & (cy < row_e))
         if hit.any():
-            flat = cy[hit] * W + cx[hit]
+            flat = (cy[hit] - off_r) * W + (cx[hit] - off_c)
             _glyph_update(state, kind_int, flat, vals32[hit], ones[hit])
         at_end = active & (cx == ix1) & (cy == iy1)
         done |= at_end

@@ -135,6 +135,12 @@ class StagedCloud:
     row: np.ndarray
 
 
+def _ch(cloud, name, sel):
+    """Sliced optional glyph channel."""
+    arr = routing.glyph_channel(cloud, name)
+    return arr[sel] if arr is not None else None
+
+
 def _force_jax() -> bool:
     """Test hook: treat the default JAX device (even CPU) as an accelerator,
     so the device code path can be exercised without TPU hardware."""
@@ -150,6 +156,8 @@ class Pipeline:
         self._backend = backend           # 'cpu' | 'jax'
         self._plans = []                  # list of (spec, info)
         self._host_state = []             # CPU mode: per spec list[(H,W)]
+        self._managers = []               # CPU out-of-core: TileManager/spec
+        self._tiled = False
         self._engine = None               # jax mode: TpuEngine
         self._result: Grid | None = None
         self._finalized = False
@@ -224,10 +232,31 @@ class Pipeline:
     def _init_state(self):
         cfg = self.config.grid
         if self._backend == "cpu":
-            for spec, info in self._plans:
-                self._host_state.append(
-                    info.init_state((cfg.height, cfg.width)))
+            # Out-of-core: when the full-grid state would exceed the host
+            # cache budget, switch to per-tile state via the TileManager
+            # (LRU cache + PCRT spill, reference: tile_manager.cpp).
+            budget = self.config.host_cache_budget
+            state_bytes = sum(
+                info.state_floats * cfg.total_cells() * 4
+                for _, info in self._plans)
+            self._tiled = bool(budget and state_bytes > budget)
+            if self._tiled:
+                from .tile_manager import TileManager, TileManagerConfig
+                for i, (spec, info) in enumerate(self._plans):
+                    self._managers.append(TileManager.create(
+                        TileManagerConfig(
+                            state_dir=self._state_dir_for(i),
+                            cache_size_bytes=max(
+                                budget // len(self._plans), 1 << 20),
+                            state_floats=info.state_floats,
+                            reduction_type=ReductionType(spec.type),
+                            grid_config=cfg)))
+            else:
+                for spec, info in self._plans:
+                    self._host_state.append(
+                        info.init_state((cfg.height, cfg.width)))
         else:
+            self._tiled = False
             from .tpu_backend import TpuEngine
             import jax
             devs = jax.devices()
@@ -247,12 +276,21 @@ class Pipeline:
         tile_manager.cpp:272-302 — the `resume` flag is declared but never
         read there; we honor the same implicit behaviour)."""
         cfg = self.config.grid
+        if self._tiled:
+            # TileManager loads existing PCRT files lazily on acquire;
+            # just record which tiles already have state.
+            for trow in range(cfg.tiles_y):
+                for tcol in range(cfg.tiles_x):
+                    if self._managers[0].tile_has_state(
+                            TileIndex(row=trow, col=tcol)):
+                        self._touched_tiles.add((trow, tcol))
+            return
         for i, (spec, info) in enumerate(self._plans):
             d = self._state_dir_for(i)
             if not os.path.isdir(d):
                 continue
             fields = (self._host_state[i] if self._backend == "cpu"
-                      else self._engine.fetch_state(i))
+                      else [f.copy() for f in self._engine.fetch_state(i)])
             loaded = False
             for trow in range(cfg.tiles_y):
                 for tcol in range(cfg.tiles_x):
@@ -283,6 +321,12 @@ class Pipeline:
         """Write every touched tile's state as a PCRT file (flush_all,
         reference: tile_manager.cpp:416-426 + pipeline.cpp:1166-1172)."""
         cfg = self.config.grid
+        if self._tiled:
+            for mgr in self._managers:
+                st = mgr.flush_all()
+                if not st.ok():
+                    raise PcrError(st)
+            return
         for i, (spec, info) in enumerate(self._plans):
             d = self._state_dir_for(i)
             os.makedirs(d, exist_ok=True)
@@ -429,9 +473,61 @@ class Pipeline:
 
     # -- CPU path ---------------------------------------------------------------
 
+    def _ingest_cpu_tiled(self, i, spec, info, gt, cloud, x, y, col, row,
+                          valid, values, weights, timestamps):
+        """Out-of-core CPU ingest: group points by home tile, accumulate
+        into each tile's TileManager state block (acquire → accumulate →
+        release), mirroring the reference's per-tile batch loop
+        (pipeline.cpp:688-733)."""
+        cfg = self.config.grid
+        mgr = self._managers[i]
+        tcol = col // cfg.tile_width
+        trow = row // cfg.tile_height
+        tid = trow.astype(np.int64) * cfg.tiles_x + tcol.astype(np.int64)
+        tid = np.where(valid, tid, -1)
+        for t in np.unique(tid):
+            if t < 0:
+                continue
+            sel = tid == t
+            tile = TileIndex(row=int(t) // cfg.tiles_x,
+                             col=int(t) % cfg.tiles_x)
+            cs, rs, cc, rc = cfg.tile_cell_range(tile)
+            block = mgr.acquire(tile)
+            state = [block[f] for f in range(info.state_floats)]
+            region = (cs, rs, cc, rc)
+            if gt == GlyphType.Point:
+                flat = ((row[sel].astype(np.int64) - rs) * cc
+                        + (col[sel].astype(np.int64) - cs))
+                st = cpu.accumulate_point_cpu(
+                    info, state, flat, values[sel],
+                    weights[sel] if weights is not None else None,
+                    timestamps[sel] if timestamps is not None else None)
+            elif gt == GlyphType.Gaussian:
+                st = cpu.accumulate_gaussian_cpu(
+                    spec.glyph, spec.type, cfg, state, x[sel], y[sel],
+                    values[sel],
+                    _ch(cloud, spec.glyph.sigma_x_channel, sel),
+                    _ch(cloud, spec.glyph.sigma_y_channel, sel),
+                    _ch(cloud, spec.glyph.rotation_channel, sel),
+                    col[sel], row[sel], region=region)
+            else:   # Line
+                st = cpu.accumulate_line_cpu(
+                    spec.glyph, spec.type, cfg, state, x[sel], y[sel],
+                    values[sel],
+                    _ch(cloud, spec.glyph.direction_channel, sel),
+                    _ch(cloud, spec.glyph.half_length_channel, sel),
+                    col[sel], row[sel], region=region)
+            mgr.release(tile)
+            if not st.ok():
+                raise PcrError(st)
+
     def _ingest_cpu(self, i, spec, info, gt, cloud, x, y, col, row, valid,
                     values, weights, timestamps):
         cfg = self.config.grid
+        if self._tiled:
+            return self._ingest_cpu_tiled(i, spec, info, gt, cloud, x, y,
+                                          col, row, valid, values, weights,
+                                          timestamps)
         state = self._host_state[i]
         v = valid
         if gt == GlyphType.Point:
@@ -534,7 +630,7 @@ class Pipeline:
         (reference: pipeline.cpp:1154-1363)."""
         if self._engine is not None:
             self._engine.block_until_ready()
-        if self.config.state_dir:
+        if self.config.state_dir or self._tiled:
             self._flush_state()
 
         cfg = self.config.grid
@@ -559,6 +655,16 @@ class Pipeline:
                         TileIndex(row=trow, col=tcol))
                     band[rs:rs + rc, cs:cs + cc] = full[rs:rs + rc,
                                                         cs:cs + cc]
+            elif self._tiled:
+                mgr = self._managers[i]
+                for (trow, tcol) in self._touched_tiles:
+                    tile = TileIndex(row=trow, col=tcol)
+                    cs, rs, cc, rc = cfg.tile_cell_range(tile)
+                    block = mgr.acquire(tile)
+                    tile_fields = [block[f]
+                                   for f in range(info.state_floats)]
+                    band[rs:rs + rc, cs:cs + cc] = np.asarray(
+                        info.finalize_arrays(tile_fields), dtype=np.float32)
             else:
                 fields = self._host_state[i]
                 for (trow, tcol) in self._touched_tiles:

@@ -44,7 +44,15 @@ def home_tile_ranges(cfg: GridConfig, col: np.ndarray, row: np.ndarray):
 
 
 def assign(cfg: GridConfig, x: np.ndarray, y: np.ndarray):
-    """world→cell assignment. Returns (col, row, valid)."""
+    """world→cell assignment. Returns (col, row, valid).
+
+    Uses the native fused OpenMP kernel when available (one memory pass
+    instead of ~10 numpy passes; bit-identical semantics), else the numpy
+    path."""
+    from .. import native
+    if native.available() and len(x) >= 65536:
+        return native.assign(cfg, np.asarray(x, np.float64),
+                             np.asarray(y, np.float64))
     return cfg.world_to_cell_array(x, y)
 
 

@@ -1,0 +1,153 @@
+"""
+Native host kernels — ctypes loader with on-demand compilation.
+
+The shared library is built from router.cpp with g++ -O3 -fopenmp on first
+use (cached under ~/.cache/pcr_tpu_native or $PCR_NATIVE_CACHE); if no
+compiler is available, callers fall back to the vectorized numpy paths
+(routing.py checks `available()`). Set PCR_NATIVE=0 to force the fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+__all__ = ["available", "lib", "assign", "assign_cells", "fractional_cells"]
+
+_LIB = None
+_TRIED = False
+
+
+def _src_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "router.cpp")
+
+
+def _build(src: str, out: str) -> bool:
+    flags = ["-O3", "-shared", "-fPIC", "-std=c++17"]
+    for omp in (["-fopenmp"], []):
+        try:
+            subprocess.run(["g++", *flags, *omp, src, "-o", out],
+                           check=True, capture_output=True, timeout=120)
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            continue
+    return False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("PCR_NATIVE", "1") == "0":
+        return None
+    src = _src_path()
+    if not os.path.exists(src):
+        return None
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "PCR_NATIVE_CACHE", os.path.expanduser("~/.cache/pcr_tpu_native"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        return None
+    out = os.path.join(cache, f"pcr_router_{digest}.so")
+    if not os.path.exists(out):
+        if not _build(src, out):
+            return None
+    try:
+        lib = ctypes.CDLL(out)
+    except OSError:
+        return None
+
+    d = ctypes.POINTER(ctypes.c_double)
+    f = ctypes.POINTER(ctypes.c_float)
+    i = ctypes.POINTER(ctypes.c_int32)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.pcr_assign.argtypes = [d, d, ctypes.c_int64] + \
+        [ctypes.c_double] * 8 + [ctypes.c_int32] * 2 + [i, i, u8]
+    lib.pcr_assign_cells.argtypes = [d, d, ctypes.c_int64] + \
+        [ctypes.c_double] * 8 + [ctypes.c_int32] * 3 + [i]
+    lib.pcr_fractional_cells.argtypes = [d, d, ctypes.c_int64] + \
+        [ctypes.c_double] * 4 + [i, i, f, f]
+    lib.pcr_native_version.restype = ctypes.c_int
+    lib.pcr_native_threads.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def lib():
+    return _load()
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def assign(cfg, x: np.ndarray, y: np.ndarray):
+    """Native world→cell assignment. Returns (col, row, valid) identical to
+    GridConfig.world_to_cell_array."""
+    L = _load()
+    n = len(x)
+    x = np.ascontiguousarray(x, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    col = np.empty(n, np.int32)
+    row = np.empty(n, np.int32)
+    valid = np.empty(n, np.uint8)
+    b = cfg.bounds
+    L.pcr_assign(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double), n,
+                 b.min_x, b.min_y, b.max_x, b.max_y,
+                 cfg.origin_x, cfg.origin_y,
+                 1.0 / cfg.cell_size_x, 1.0 / cfg.cell_size_y,
+                 cfg.width, cfg.height,
+                 _ptr(col, ctypes.c_int32), _ptr(row, ctypes.c_int32),
+                 _ptr(valid, ctypes.c_uint8))
+    return col, row, valid.astype(bool)
+
+
+def assign_cells(cfg, x: np.ndarray, y: np.ndarray,
+                 sentinel: int) -> np.ndarray:
+    """Native fused assign+flatten with invalid→sentinel."""
+    L = _load()
+    n = len(x)
+    x = np.ascontiguousarray(x, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    cells = np.empty(n, np.int32)
+    b = cfg.bounds
+    L.pcr_assign_cells(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double), n,
+                       b.min_x, b.min_y, b.max_x, b.max_y,
+                       cfg.origin_x, cfg.origin_y,
+                       1.0 / cfg.cell_size_x, 1.0 / cfg.cell_size_y,
+                       cfg.width, cfg.height, sentinel,
+                       _ptr(cells, ctypes.c_int32))
+    return cells
+
+
+def fractional_cells(cfg, x: np.ndarray, y: np.ndarray):
+    """Native fused fractional-cell computation: (icx, icy, sub_cx, sub_cy)."""
+    L = _load()
+    n = len(x)
+    x = np.ascontiguousarray(x, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    icx = np.empty(n, np.int32)
+    icy = np.empty(n, np.int32)
+    sub_cx = np.empty(n, np.float32)
+    sub_cy = np.empty(n, np.float32)
+    L.pcr_fractional_cells(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+                           n, cfg.origin_x, cfg.origin_y,
+                           1.0 / cfg.cell_size_x, 1.0 / cfg.cell_size_y,
+                           _ptr(icx, ctypes.c_int32),
+                           _ptr(icy, ctypes.c_int32),
+                           _ptr(sub_cx, ctypes.c_float),
+                           _ptr(sub_cy, ctypes.c_float))
+    return icx, icy, sub_cx, sub_cy

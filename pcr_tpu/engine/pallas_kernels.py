@@ -1,0 +1,191 @@
+"""
+Pallas TPU kernels — the fused sorted-splat accumulator.
+
+The XLA sorted-matmul path (tpu_backend._build_sorted_matmul_update) must
+materialize its one-hot / Gaussian column factors in HBM (≈ 2·nf·W floats
+per point of write+read traffic), which caps it below the plain XLA
+scatter. This kernel generates the factors tile-by-tile in VMEM and feeds
+the MXU directly, so the only HBM traffic is the 32 B/point of parameters
+plus one read+write of each visited state row-block.
+
+Layout contract (produced by TpuEngine.prepare_* with pallas=True):
+
+  * `params`: (nsub, nseg*block) int32 — sub-chunk-major packed segments
+    [icx | icy | sub_cx | sub_cy | sx | sy | r | f0 | (f1)], f32 segments
+    bit-cast. Invalid/padding entries carry r == -1 (Gaussian) or
+    icy == -1 (point mode).
+  * `bids`:   (nsub,) int32 ascending row-block ids (scalar-prefetched; they
+    drive the state BlockSpec index map). Every row block appears at least
+    once so every output block is defined without in/out aliasing.
+  * state fields: (H_pad, W_pad) float32, H_pad/W_pad padded to block
+    multiples; masks keep all writes inside the logical (H, W) grid.
+
+Grid iteration on a TPU core is sequential, so read-modify-write of a
+revisited state block needs no atomics: on the first sub-chunk of a block's
+run the kernel initialises its VMEM accumulator from the input state; later
+sub-chunks of the same run accumulate in place; Pallas flushes the block
+when the index changes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..core.grid_config import GridConfig
+from ..core.types import ReductionType
+from ..ops.reduction import ReductionInfo
+
+__all__ = ["build_sorted_splat_pallas", "W_TILE", "round_up"]
+
+W_TILE = 256            # column tile for on-the-fly factor generation
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def col_tile(W: int) -> int:
+    """Column tile width: W_TILE, shrunk for narrow grids (lane-aligned)."""
+    return min(W_TILE, round_up(W, 128))
+
+
+def padded_width(W: int) -> int:
+    """Grid width padded so it divides evenly into column tiles."""
+    return round_up(W, col_tile(W))
+
+
+def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
+                              nsub: int, block: int, TH: int,
+                              point_mode: bool, with_f1: bool,
+                              interpret: bool = False):
+    """Build f(states, params_2d, bids) -> states (same math as
+    tpu_backend._build_sorted_matmul_update, fused in VMEM)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = cfg.height, cfg.width
+    WT = col_tile(W)
+    W_pad = padded_width(W)
+    rtype = ReductionType(info.type)
+    nf = 2 if rtype in (ReductionType.WeightedAverage,
+                        ReductionType.Average) else 1
+    # point mode ships the lean layout [icx | icy | f0 | (f1)]
+    nseg = (3 if point_mode else 8) + (1 if with_f1 else 0)
+    multi_tile = cfg.total_tiles() > 1
+    tw, th_tile = cfg.tile_width, cfg.tile_height
+    nwt = W_pad // WT
+    prec = (jax.lax.Precision.HIGH if point_mode
+            else jax.lax.Precision.HIGHEST)
+
+    def kernel(bids_ref, params_ref, *refs):
+        st_refs = refs[:nf]
+        out_refs = refs[nf:]
+        i = pl.program_id(0)
+        prev = bids_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, bids_ref[i] != prev)
+        row0 = bids_ref[i] * TH
+
+        p = params_ref[0]                      # (nseg*block,) int32
+        # column-vector (block, 1) views; bitcast needs >= 2-D on TPU
+        seg = lambda k: p[k * block:(k + 1) * block].reshape(block, 1)
+        f32 = lambda k: pltpu.bitcast(seg(k), jnp.float32)
+        icx_c = seg(0)
+        icy_c = seg(1)
+        k_f0 = 2 if point_mode else 7
+        f0 = f32(k_f0)
+        f1 = f32(k_f0 + 1) if with_f1 else None
+
+        # row factor (block, TH)
+        hs_i = (jax.lax.broadcasted_iota(jnp.int32, (block, TH), 1) + row0)
+        if point_mode:
+            my = hs_i == icy_c
+            wy = my.astype(jnp.float32)
+        else:
+            sub_cy = f32(3)
+            sy = f32(5)
+            r = seg(6)
+            rdy = (hs_i.astype(jnp.float32) - icy_c.astype(jnp.float32)
+                   ) - sub_cy
+            qy = rdy / sy
+            wy = jnp.exp(-0.5 * qy * qy)
+            my = (jnp.abs(hs_i - icy_c) <= r) & (wy >= 1e-6) & (hs_i < H)
+            if multi_tile:
+                rowc = jnp.clip(icy_c, 0, H - 1)
+                rs = (rowc // th_tile) * th_tile
+                re = jnp.minimum(rs + th_tile, H)
+                my &= (hs_i >= rs) & (hs_i < re)
+            wy = jnp.where(my, wy, 0.0)
+
+        if not point_mode:
+            sub_cx = f32(2)
+            sx = f32(4)
+            rr = seg(6)
+
+        # initialise the VMEM accumulators on the first sub-chunk of a run
+        @pl.when(first)
+        def _():
+            for f in range(nf):
+                out_refs[f][:] = st_refs[f][:]
+
+        # column tiles: generate factors in VMEM, matmul, accumulate
+        for wt in range(nwt):
+            ws_i = (jax.lax.broadcasted_iota(jnp.int32, (block, WT), 1)
+                    + wt * WT)
+            if point_mode:
+                wx = (ws_i == icx_c).astype(jnp.float32)
+            else:
+                rdx = (ws_i.astype(jnp.float32)
+                       - icx_c.astype(jnp.float32)) - sub_cx
+                qx = rdx / sx
+                wx = jnp.exp(-0.5 * qx * qx)
+                mx = (jnp.abs(ws_i - icx_c) <= rr) & (wx >= 1e-6)
+                mx &= ws_i < W
+                if multi_tile:
+                    colc = jnp.clip(icx_c, 0, W - 1)
+                    cs = (colc // tw) * tw
+                    ce = jnp.minimum(cs + tw, W)
+                    mx &= (ws_i >= cs) & (ws_i < ce)
+                wx = jnp.where(mx, wx, 0.0)
+
+            sl = pl.ds(wt * WT, WT)
+            c0 = jax.lax.dot_general(
+                wy, wx * f0, (((0,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            out_refs[0][:, sl] += c0
+            if nf == 2:
+                col1 = wx * f1 if with_f1 else wx
+                c1 = jax.lax.dot_general(
+                    wy, col1, (((0,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
+                out_refs[1][:, sl] += c1
+
+    H_pad = round_up(H, TH)
+    state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)
+    state_spec = lambda: pl.BlockSpec(
+        (TH, W_pad), lambda i, bids: (bids[i], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsub,),
+        in_specs=[
+            pl.BlockSpec((1, nseg * block), lambda i, bids: (i, 0)),
+        ] + [state_spec() for _ in range(nf)],
+        out_specs=[state_spec() for _ in range(nf)],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[state_shape] * nf,
+        interpret=interpret,
+    )
+
+    def update(states, params_2d, bids):
+        out = call(bids, params_2d, *states)
+        return tuple(out)
+
+    return update

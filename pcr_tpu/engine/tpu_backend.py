@@ -542,20 +542,37 @@ class TpuEngine:
         # splat's dynamic slices never clamp at the bottom edge.
         self.H_pad = ((self.H + GAUSS_ROW_BLOCK - 1)
                       // GAUSS_ROW_BLOCK) * GAUSS_ROW_BLOCK
+        # Pallas fused-splat mode: 'compiled' on real TPUs, 'interpret'
+        # for CPU-based validation (PCR_PALLAS=interpret), '0' to disable.
+        env = os.environ.get("PCR_PALLAS", "auto")
+        if env == "auto":
+            self.pallas = ("compiled"
+                           if jax.default_backend() == "tpu" else "off")
+        elif env in ("1", "compiled"):
+            self.pallas = "compiled"
+        elif env == "interpret":
+            self.pallas = "interpret"
+        else:
+            self.pallas = "off"
+        from .pallas_kernels import padded_width
+        self.W_state = (padded_width(self.W) if self.pallas != "off"
+                        else self.W)
         self._states = []
         self._grid_shaped = []
         self._jits = {}
         from .glyph import GlyphType
         for spec, info in plans:
             glyph_t = GlyphType(spec.glyph.type)
-            # Gaussian splats and sum-family Point specs run the sorted
-            # matmul path over (H_pad, W) states; Line and Max/Min/
-            # MostRecent Point specs use flat scatter states.
+            # Gaussian splats (and, when the Pallas kernel is on, sum-family
+            # Point specs) run the sorted splat over (H_pad, W_state)
+            # states; everything else uses flat scatter states.
             grid_shaped = (glyph_t == GlyphType.Gaussian
                            or (glyph_t == GlyphType.Point
-                               and info.scatter_kind == "sum"))
+                               and info.scatter_kind == "sum"
+                               and self.pallas != "off"))
             self._grid_shaped.append(grid_shaped)
-            shape = (self.H_pad, self.W) if grid_shaped else (self.C,)
+            shape = ((self.H_pad, self.W_state) if grid_shaped
+                     else (self.C,))
             st = tuple(
                 jax.device_put(
                     np.full(shape, info.identity[f], dtype=np.float32),
@@ -573,11 +590,12 @@ class TpuEngine:
         st = []
         for fi, f in enumerate(fields_hw):
             a = np.asarray(f, dtype=np.float32)
-            if grid_shaped and self.H_pad != self.H:
-                pad = np.full((self.H_pad - self.H, self.W),
-                              info.identity[fi], np.float32)
-                a = np.concatenate([a, pad], axis=0)
-            if not grid_shaped:
+            if grid_shaped:
+                full = np.full((self.H_pad, self.W_state),
+                               info.identity[fi], np.float32)
+                full[: self.H, : self.W] = a
+                a = full
+            else:
                 a = a.reshape(-1)
             st.append(jax.device_put(a, self.device))
         self._states[spec_idx] = tuple(st)
@@ -585,7 +603,7 @@ class TpuEngine:
     def fetch_state(self, spec_idx: int):
         """Download state to host as a list of (H, W) float32 arrays."""
         if self._grid_shaped[spec_idx]:
-            return [np.asarray(f)[: self.H]
+            return [np.asarray(f)[: self.H, : self.W]
                     for f in self._states[spec_idx]]
         return [np.asarray(f).reshape(self.H, self.W)
                 for f in self._states[spec_idx]]
@@ -601,9 +619,9 @@ class TpuEngine:
             fn = jax.jit(lambda st: info.finalize_arrays(list(st)))
             self._jits[key] = fn
         band = np.asarray(fn(self._states[spec_idx]))
-        band = band.reshape(-1)[: self.C].reshape(self.H, self.W) \
-            if not self._grid_shaped[spec_idx] else band[: self.H]
-        return band
+        if self._grid_shaped[spec_idx]:
+            return band[: self.H, : self.W]
+        return band.reshape(-1)[: self.C].reshape(self.H, self.W)
 
     # -- staging ------------------------------------------------------------------
 
@@ -627,13 +645,17 @@ class TpuEngine:
 
     # -- sorted row-block bucketing (shared by Point and Gaussian fast paths) --
 
-    def _bucket_rowblocks(self, blk0, blk1, block, seg_arrays):
+    def _bucket_rowblocks(self, blk0, blk1, block, seg_arrays,
+                          layout="seg_major"):
         """Lay entries out row-block-contiguously.
 
         blk0/blk1: inclusive per-point target block ranges (halo); points
         spanning several blocks are duplicated. Each block's entry run is
         padded to a multiple of `block`. Returns (buf, nsub, E) where buf is
-        the packed int32 buffer [seg0 | seg1 | ... | bids].
+        the packed int32 buffer [seg0 | seg1 | ... | bids] (seg_major, the
+        XLA scan layout) or [subchunk0 segs | subchunk1 segs | ... | bids]
+        (sub_major, the Pallas layout — which also guarantees every row
+        block at least one sub-chunk so every state block gets visited).
 
         seg_arrays: list of (array, fill) — gathered by entry, padded with
         fill (f32 arrays are bit-viewed into the i32 buffer)."""
@@ -661,7 +683,11 @@ class TpuEngine:
             idx_s = idx[order]
             counts = np.bincount(eb[order], minlength=nblocks)
 
-        nsub_real = int(np.sum((counts + block - 1) // block))
+        visit_all = layout == "sub_major"
+        per_block_subs = (counts + block - 1) // block
+        if visit_all:
+            per_block_subs = np.maximum(per_block_subs, 1)
+        nsub_real = int(per_block_subs.sum())
         nsub = _nsub_bucket(max(nsub_real, 1))
         E = nsub * block
         slots = np.full(E, -1, np.int64)
@@ -670,19 +696,29 @@ class TpuEngine:
         epos = 0
         for bidx in range(nblocks):
             c = int(counts[bidx])
-            if c == 0:
+            pc = int(per_block_subs[bidx]) * block
+            if pc == 0:
                 continue
-            pc = ((c + block - 1) // block) * block
             slots[epos:epos + c] = np.arange(pos, pos + c)
             bids[epos // block:(epos + pc) // block] = bidx
             pos += c
             epos += pc
 
+        # Trailing nsub-ladder pad sub-chunks must extend the LAST block's
+        # run: a smaller bid would break the ascending-bids contract and
+        # make the Pallas kernel re-initialise that block from stale input
+        # state (wiping this call's accumulation).
+        if epos // block < nsub:
+            last_bid = bids[max(epos // block - 1, 0)]
+            bids[epos // block:] = last_bid
+
         sel = idx_s[np.maximum(slots, 0)]
         live = slots >= 0
         all_live = bool(live.all())
 
-        buf = np.empty(len(seg_arrays) * E + nsub, dtype=np.int32)
+        nseg = len(seg_arrays)
+        buf = np.empty(nseg * E + nsub, dtype=np.int32)
+        gathered = []
         for i, (arr, fill) in enumerate(seg_arrays):
             a = np.asarray(arr)[sel]
             if not all_live:
@@ -690,9 +726,38 @@ class TpuEngine:
             if a.dtype != np.int32:
                 a = (a.astype(np.float32).view(np.int32)
                      if a.dtype.kind == "f" else a.astype(np.int32))
-            buf[i * E:(i + 1) * E] = a
-        buf[len(seg_arrays) * E:] = bids
+            gathered.append(a)
+        if layout == "sub_major":
+            params = np.stack(gathered)            # (nseg, E)
+            buf[: nseg * E] = np.ascontiguousarray(
+                params.reshape(nseg, nsub, block).transpose(1, 0, 2)
+            ).reshape(-1)
+        else:
+            for i, a in enumerate(gathered):
+                buf[i * E:(i + 1) * E] = a
+        buf[nseg * E:] = bids
         return buf, nsub, E
+
+    def _pallas_builder(self, info, nsub, block, TH, point_mode, with_f1,
+                        nseg, E):
+        """Zero-arg builder producing the fused Pallas update closed over a
+        single packed [params | bids] buffer."""
+        interpret = self.pallas == "interpret"
+        cfg = self.cfg
+
+        def build():
+            from .pallas_kernels import build_sorted_splat_pallas
+            upd = build_sorted_splat_pallas(
+                info, cfg, nsub, block, TH, point_mode, with_f1, interpret)
+
+            def fn(states, buf):
+                params_2d = buf[: nseg * E].reshape(nsub, nseg * block)
+                bids = buf[nseg * E:]
+                return upd(states, params_2d, bids)
+
+            return fn
+
+        return build
 
     def _point_fields(self, info, values, weights, n):
         """Host-side field contributions (f0, f1|None) for sum-family ops."""
@@ -720,7 +785,11 @@ class TpuEngine:
         encoded as cell == C."""
         _, info = self.plans[spec_idx]
         n = len(cells)
-        if info.scatter_kind == "sum":
+        # Sum-family points use the fused Pallas sorted splat when available
+        # (the XLA sorted matmul loses to plain scatter because its one-hot
+        # column factors materialize ~8KB/pt of HBM traffic; the Pallas
+        # kernel generates them in VMEM).
+        if info.scatter_kind == "sum" and self.pallas != "off":
             TH = GAUSS_ROW_BLOCK
             col = (cells % np.int32(self.W)).astype(np.int32)
             row = (cells // np.int32(self.W)).astype(np.int32)
@@ -732,13 +801,11 @@ class TpuEngine:
             segs = [(col, -1), (row, -1), (f0, 0)]
             if with_f1:
                 segs.append((f1, 0))
-            buf, nsub, E = self._bucket_rowblocks(blk, blk, block, segs)
-            key = ("point_mm", spec_idx, nsub, block, TH, with_f1)
-            builder = (lambda info=info, nsub=nsub, block=block, TH=TH,
-                       wf1=with_f1:
-                       _build_sorted_matmul_update(
-                           info, self.cfg, nsub, block, TH,
-                           point_mode=True, with_f1=wf1))
+            buf, nsub, E = self._bucket_rowblocks(blk, blk, block, segs,
+                                                  layout="sub_major")
+            key = ("pallas_point", spec_idx, nsub, block, TH, with_f1)
+            builder = self._pallas_builder(info, nsub, block, TH, True,
+                                           with_f1, len(segs), E)
             return [StagedChunk(key, self._put(buf), builder, n)]
 
         # scatter path (max/min/argmax_ts)
@@ -808,6 +875,13 @@ class TpuEngine:
         segs = [(gp.icx, 0), (gp.icy, 0),
                 (gp.sub_cx, 0), (gp.sub_cy, 0),
                 (gp.sx, 1.0), (gp.sy, 1.0), (r, -1), (f0, 0)]
+        if self.pallas != "off":
+            buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs,
+                                                  layout="sub_major")
+            key = ("pallas_gauss", spec_idx, nsub, block, TH)
+            builder = self._pallas_builder(info, nsub, block, TH, False,
+                                           False, len(segs), E)
+            return [StagedChunk(key, self._put(buf), builder, n)]
         buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs)
         key = ("gauss_sorted", spec_idx, nsub, block, TH)
         builder = (lambda info=info, nsub=nsub, block=block, TH=TH:

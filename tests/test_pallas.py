@@ -1,0 +1,99 @@
+"""Pallas fused-splat kernel tests (interpret mode on CPU).
+
+The kernel is exercised in Pallas interpret mode so its logic is validated
+without TPU hardware; on real TPUs the engine compiles the same kernel
+(PCR_PALLAS=auto → 'compiled')."""
+
+import numpy as np
+import pytest
+
+import pcr_tpu as pcr
+from conftest import make_grid_config
+
+RT = pcr.ReductionType
+
+
+def cloud(n=3000, seed=0, w=200.0, h=150.0):
+    rng = np.random.default_rng(seed)
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(-5, w + 5, n))    # includes invalid points
+    c.set_y_array(rng.uniform(-5, h + 5, n))
+    for name, arr in [("v", rng.normal(0, 1, n)),
+                      ("w", rng.uniform(0.1, 2.0, n)),
+                      ("sig", rng.uniform(0.5, 2.5, n))]:
+        c.add_channel(name, pcr.DataType.Float32)
+        c.set_channel_array_f32(name, arr.astype(np.float32))
+    return c
+
+
+def run(mode, specs, gc, pallas, monkeypatch):
+    import copy
+    if pallas:
+        monkeypatch.setenv("PCR_PALLAS", "interpret")
+    else:
+        monkeypatch.setenv("PCR_PALLAS", "0")
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = copy.deepcopy(specs)
+    cfg.exec_mode = mode
+    p = pcr.Pipeline.create(cfg)
+    p.ingest(cloud())
+    p.finalize()
+    return [p.result().band_array(i).copy() for i in range(len(specs))]
+
+
+def assert_close(a, b, atol=1e-5, rtol=1e-5):
+    for x, y in zip(a, b):
+        assert (np.isnan(x) == np.isnan(y)).all()
+        m = ~np.isnan(x)
+        if m.any():
+            excess = np.abs(x[m] - y[m]) - (atol + rtol * np.abs(x[m]))
+            assert float(excess.max()) <= 0
+
+
+@pytest.mark.parametrize("rtype", [RT.Sum, RT.Average, RT.Count,
+                                   RT.WeightedAverage])
+def test_point_pallas_matches_oracle(monkeypatch, rtype):
+    gc = make_grid_config(w=200.0, h=150.0)
+    spec = pcr.ReductionSpec(value_channel="v", type=rtype)
+    if rtype == RT.WeightedAverage:
+        spec.weight_channel = "w"
+    oracle = run(pcr.ExecutionMode.CPU, [spec], gc, False, monkeypatch)
+    got = run(pcr.ExecutionMode.GPU, [spec], gc, True, monkeypatch)
+    assert_close(oracle, got)
+
+
+def test_gaussian_pallas_matches_oracle(monkeypatch):
+    gc = make_grid_config(w=200.0, h=150.0)
+    spec = pcr.gaussian_splat_spec("v", sigma_x_channel="sig",
+                                   sigma_y_channel="sig",
+                                   max_radius_cells=6.0)
+    oracle = run(pcr.ExecutionMode.CPU, [spec], gc, False, monkeypatch)
+    got = run(pcr.ExecutionMode.GPU, [spec], gc, True, monkeypatch)
+    # WeightedAverage cells with near-zero weight sums amplify the sub-1e-6
+    # cutoff deviation; the reference's own CPU/GPU bar is 1e-4 absolute.
+    assert_close(oracle, got, atol=1e-4)
+
+
+def test_gaussian_pallas_tiled_clipping(monkeypatch):
+    gc = make_grid_config(w=200.0, h=150.0, tile=64)
+    spec = pcr.gaussian_splat_spec("v", default_sigma=2.0,
+                                   max_radius_cells=6.0)
+    oracle = run(pcr.ExecutionMode.CPU, [spec], gc, False, monkeypatch)
+    got = run(pcr.ExecutionMode.GPU, [spec], gc, True, monkeypatch)
+    assert_close(oracle, got)
+
+
+def test_pallas_multi_ingest_accumulates(monkeypatch):
+    gc = make_grid_config(w=200.0, h=150.0)
+    monkeypatch.setenv("PCR_PALLAS", "interpret")
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [pcr.ReductionSpec(value_channel="v", type=RT.Count)]
+    cfg.exec_mode = pcr.ExecutionMode.GPU
+    p = pcr.Pipeline.create(cfg)
+    p.ingest(cloud(seed=1))
+    p.ingest(cloud(seed=2))
+    p.finalize()
+    total = np.nansum(p.result().band_array(0))
+    assert total == p.stats().points_processed

@@ -89,9 +89,9 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         first = jnp.logical_or(i == 0, bids_ref[i] != prev)
         row0 = bids_ref[i] * TH
 
-        p = params_ref[0]                      # (nseg*block,) int32
-        # column-vector (block, 1) views; bitcast needs >= 2-D on TPU
-        seg = lambda k: p[k * block:(k + 1) * block].reshape(block, 1)
+        # params block: (1, nseg, block); column-vector (block, 1) views
+        # (bitcast needs >= 2-D on TPU)
+        seg = lambda k: params_ref[0, k, :].reshape(block, 1)
         f32 = lambda k: pltpu.bitcast(seg(k), jnp.float32)
         icx_c = seg(0)
         icy_c = seg(1)
@@ -172,7 +172,9 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         num_scalar_prefetch=1,
         grid=(nsub,),
         in_specs=[
-            pl.BlockSpec((1, nseg * block), lambda i, bids: (i, 0)),
+            # (1, nseg, block): middle dim equals the array dim and the
+            # lane dim is 128-aligned, satisfying Mosaic block constraints
+            pl.BlockSpec((1, nseg, block), lambda i, bids: (i, 0, 0)),
         ] + [state_spec() for _ in range(nf)],
         out_specs=[state_spec() for _ in range(nf)],
     )
@@ -185,7 +187,7 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     )
 
     def update(states, params_2d, bids):
-        out = call(bids, params_2d, *states)
+        out = call(bids, params_2d.reshape(nsub, nseg, block), *states)
         return tuple(out)
 
     return update

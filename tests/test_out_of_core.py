@@ -87,3 +87,42 @@ def test_tiled_multicloud_resume(tmp_path):
     b = p.result().band_array(0)
     assert np.allclose(np.where(np.isnan(a[0]), 0, a[0]),
                        np.where(np.isnan(b), 0, b), atol=1e-5)
+
+
+class TestGridMerge:
+    """engine.grid_merge — init/merge/finalize state buffers
+    (reference: grid_merge.cu:16-183)."""
+
+    def test_merge_matches_joint_accumulation(self):
+        from pcr_tpu.engine import grid_merge, cpu_backend as cpu
+        from pcr_tpu.ops.reduction import get_reduction_info
+        rng = np.random.default_rng(0)
+        for rtype in (RT.Sum, RT.Average, RT.Max, RT.Min,
+                      RT.WeightedAverage, RT.MostRecent):
+            info = get_reduction_info(rtype)
+            cells = rng.integers(0, 64, 500)
+            vals = rng.normal(0, 1, 500).astype(np.float32)
+            w = rng.uniform(0.1, 1, 500).astype(np.float32)
+            ts = rng.uniform(0, 9, 500).astype(np.float32)
+            joint = grid_merge.init_state(rtype, (8, 8))
+            cpu.accumulate_point_cpu(info, joint, cells, vals, w, ts)
+            a = grid_merge.init_state(rtype, (8, 8))
+            b = grid_merge.init_state(rtype, (8, 8))
+            cpu.accumulate_point_cpu(info, a, cells[:250], vals[:250],
+                                     w[:250], ts[:250])
+            cpu.accumulate_point_cpu(info, b, cells[250:], vals[250:],
+                                     w[250:], ts[250:])
+            merged = grid_merge.merge_state(rtype, a, b)
+            out_m = grid_merge.finalize_state(rtype, merged)
+            out_j = grid_merge.finalize_state(rtype, joint)
+            np.testing.assert_allclose(
+                np.where(np.isnan(out_m), 0, out_m),
+                np.where(np.isnan(out_j), 0, out_j), atol=1e-5,
+                err_msg=str(rtype))
+
+    def test_shape_mismatch_raises(self):
+        from pcr_tpu.engine import grid_merge
+        a = grid_merge.init_state(RT.Sum, (4, 4))
+        b = grid_merge.init_state(RT.Sum, (4, 5))
+        with pytest.raises(ValueError):
+            grid_merge.merge_state(RT.Sum, a, b)

@@ -78,8 +78,9 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     multi_tile = cfg.total_tiles() > 1
     tw, th_tile = cfg.tile_width, cfg.tile_height
     nwt = W_pad // WT
-    prec = (jax.lax.Precision.HIGH if point_mode
-            else jax.lax.Precision.HIGHEST)
+    # Mosaic's dot lowering supports DEFAULT and HIGHEST only; HIGHEST is
+    # required for the parity bar (DEFAULT would bf16-round the values).
+    prec = jax.lax.Precision.HIGHEST
 
     def kernel(bids_ref, params_ref, *refs):
         st_refs = refs[:nf]

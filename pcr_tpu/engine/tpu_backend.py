@@ -353,6 +353,7 @@ def _build_sorted_matmul_update(info: ReductionInfo, cfg: GridConfig,
 
 
 GAUSS_ROW_BLOCK = 128          # TH: rows per block in the sorted splat
+PALLAS_BLOCK = 2048            # entries per Pallas sub-chunk (VMEM-bounded)
 _SUB_LADDER = (8, 32, 128, 512, 1024, 2048)   # nsub buckets (bounded jits)
 
 
@@ -561,15 +562,22 @@ class TpuEngine:
         self._grid_shaped = []
         self._jits = {}
         from .glyph import GlyphType
+        # Point-sum specs only take the Pallas path when opted in (or in
+        # interpret mode, which exists to test the kernel); see
+        # prepare_point for the measured scatter-vs-matmul tradeoff.
+        self._point_pallas = (
+            self.pallas == "interpret"
+            or (self.pallas == "compiled"
+                and os.environ.get("PCR_POINT_PALLAS", "0") == "1"))
         for spec, info in plans:
             glyph_t = GlyphType(spec.glyph.type)
-            # Gaussian splats (and, when the Pallas kernel is on, sum-family
-            # Point specs) run the sorted splat over (H_pad, W_state)
-            # states; everything else uses flat scatter states.
+            # Gaussian splats (and opted-in sum-family Point specs) run the
+            # sorted splat over (H_pad, W_state) states; everything else
+            # uses flat scatter states.
             grid_shaped = (glyph_t == GlyphType.Gaussian
                            or (glyph_t == GlyphType.Point
                                and info.scatter_kind == "sum"
-                               and self.pallas != "off"))
+                               and self._point_pallas))
             self._grid_shaped.append(grid_shaped)
             shape = ((self.H_pad, self.W_state) if grid_shaped
                      else (self.C,))
@@ -785,11 +793,12 @@ class TpuEngine:
         encoded as cell == C."""
         _, info = self.plans[spec_idx]
         n = len(cells)
-        # Sum-family points use the fused Pallas sorted splat when available
-        # (the XLA sorted matmul loses to plain scatter because its one-hot
-        # column factors materialize ~8KB/pt of HBM traffic; the Pallas
-        # kernel generates them in VMEM).
-        if info.scatter_kind == "sum" and self.pallas != "off":
+        # Point glyphs default to XLA scatter (measured ~53 Mpts/s for a
+        # 2-field Average on v5e): the Pallas one-hot matmul is limited to
+        # HIGHEST precision by Mosaic's dot lowering (6-pass bf16) and lands
+        # at ~28 Mpts/s. PCR_POINT_PALLAS=1 opts points into the kernel.
+        if info.scatter_kind == "sum" and self._point_pallas:
+            block = min(block, PALLAS_BLOCK)   # bounded by scoped VMEM
             TH = GAUSS_ROW_BLOCK
             col = (cells % np.int32(self.W)).astype(np.int32)
             row = (cells // np.int32(self.W)).astype(np.int32)
@@ -876,6 +885,7 @@ class TpuEngine:
                 (gp.sub_cx, 0), (gp.sub_cy, 0),
                 (gp.sx, 1.0), (gp.sy, 1.0), (r, -1), (f0, 0)]
         if self.pallas != "off":
+            block = min(block, PALLAS_BLOCK)   # bounded by scoped VMEM
             buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs,
                                                   layout="sub_major")
             key = ("pallas_gauss", spec_idx, nsub, block, TH)

@@ -597,9 +597,40 @@ class Pipeline:
 
     def _ingest_jax(self, i, spec, info, gt, cloud, x, y, col, row, valid,
                     values, weights, timestamps):
-        staged = self._prepare_jax(i, spec, info, gt, cloud, x, y, col, row,
-                                   valid, values, weights, timestamps)
-        self._engine.commit(i, staged)
+        from .tpu_backend import CHUNK_BUCKETS, chunk_ranges
+        n = len(x)
+        hybrid = (ExecutionMode(self.config.exec_mode)
+                  == ExecutionMode.Hybrid)
+        if not hybrid or n <= CHUNK_BUCKETS[-1]:
+            staged = self._prepare_jax(i, spec, info, gt, cloud, x, y, col,
+                                       row, valid, values, weights,
+                                       timestamps)
+            self._engine.commit(i, staged)
+            return
+        # Hybrid mode: pipeline host routing against device accumulation —
+        # a worker thread prepares (routes + packs + uploads) slice k+1
+        # while the device commits slice k. This is the TPU-native form of
+        # the reference's producer/consumer Hybrid mode
+        # (pipeline.cpp:785-1152); numpy releases the GIL so prep overlaps.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def prep(rng_):
+            a, b = rng_
+            sl = slice(a, b)
+            return self._prepare_jax(
+                i, spec, info, gt, cloud, x[sl], y[sl], col[sl], row[sl],
+                valid[sl], values[sl],
+                weights[sl] if weights is not None else None,
+                timestamps[sl] if timestamps is not None else None)
+
+        ranges = chunk_ranges(n)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(prep, ranges[0])
+            for nxt in list(ranges[1:]) + [None]:
+                staged = fut.result()
+                if nxt is not None:
+                    fut = ex.submit(prep, nxt)
+                self._engine.commit(i, staged)
 
     # -- bookkeeping -------------------------------------------------------------
 
@@ -679,10 +710,16 @@ class Pipeline:
 
         if self.config.output_path:
             from ..io.geotiff import GeoTiffOptions, write_geotiff
-            # The pipeline hot path picks the fast codec (zlib level 1);
-            # use write_geotiff directly for LZW/ZSTD/level control.
-            opts = GeoTiffOptions(cloud_optimized=self.config.write_cog,
-                                  compress="DEFLATE", compress_level=1)
+            from .. import native
+            # LZW default like the reference (GeoTiffOptions/grid_io.h); the
+            # native C++ codec keeps it fast. Without a compiler, fall back
+            # to zlib level 1 (the pure-Python LZW is too slow for the
+            # pipeline hot path).
+            if native.available():
+                opts = GeoTiffOptions(cloud_optimized=self.config.write_cog)
+            else:
+                opts = GeoTiffOptions(cloud_optimized=self.config.write_cog,
+                                      compress="DEFLATE", compress_level=1)
             st = write_geotiff(self.config.output_path, grid, cfg, opts)
             if not st.ok():
                 raise PcrError(st)

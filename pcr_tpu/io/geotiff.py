@@ -201,6 +201,9 @@ def _compress(data: bytes, compress: str, level: int):
     if c == "DEFLATE":
         return zlib.compress(data, level), COMP_DEFLATE_ADOBE
     if c == "LZW":
+        from .. import native
+        if native.available():
+            return native.lzw_encode(data), COMP_LZW
         return lzw_encode(data), COMP_LZW
     if c == "ZSTD":
         try:
@@ -213,12 +216,15 @@ def _compress(data: bytes, compress: str, level: int):
                                 f"unknown compression {compress!r}"))
 
 
-def _decompress(data: bytes, comp_id: int) -> bytes:
+def _decompress(data: bytes, comp_id: int, expected: int = 0) -> bytes:
     if comp_id == COMP_NONE:
         return data
     if comp_id in (COMP_DEFLATE_ADOBE, COMP_DEFLATE):
         return zlib.decompress(data)
     if comp_id == COMP_LZW:
+        from .. import native
+        if native.available() and expected:
+            return native.lzw_decode(data, expected)
         return lzw_decode(data)
     if comp_id == COMP_ZSTD:
         import zstandard
@@ -736,7 +742,8 @@ def read_geotiff_band(path: str, band_index: int) -> np.ndarray:
             for tx in range(tiles_x):
                 k = base + ty * tiles_x + tx
                 off, cnt = int(img.offsets[k]), int(img.counts[k])
-                raw = _decompress(data[off:off + cnt], img.compression)
+                raw = _decompress(data[off:off + cnt], img.compression,
+                                  img.tile_h * img.tile_w * 4)
                 tile = np.frombuffer(raw, dtype="<f4").reshape(
                     img.tile_h, img.tile_w)
                 ys, xs = ty * img.tile_h, tx * img.tile_w
@@ -747,7 +754,8 @@ def read_geotiff_band(path: str, band_index: int) -> np.ndarray:
         # one strip per band (what this writer produces)
         off = int(img.offsets[band_index])
         cnt = int(img.counts[band_index])
-        raw = _decompress(data[off:off + cnt], img.compression)
+        raw = _decompress(data[off:off + cnt], img.compression,
+                          img.height * img.width * 4)
         out[:] = np.frombuffer(raw, dtype="<f4").reshape(
             img.height, img.width)
     return out

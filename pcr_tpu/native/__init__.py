@@ -17,7 +17,8 @@ import sys
 
 import numpy as np
 
-__all__ = ["available", "lib", "assign", "assign_cells", "fractional_cells"]
+__all__ = ["available", "lib", "assign", "assign_cells", "fractional_cells",
+           "lzw_encode", "lzw_decode"]
 
 _LIB = None
 _TRIED = False
@@ -78,6 +79,11 @@ def _load():
         [ctypes.c_double] * 4 + [i, i, f, f]
     lib.pcr_native_version.restype = ctypes.c_int
     lib.pcr_native_threads.restype = ctypes.c_int
+    u8c = ctypes.POINTER(ctypes.c_uint8)
+    lib.pcr_lzw_encode.argtypes = [u8c, ctypes.c_int64, u8c, ctypes.c_int64]
+    lib.pcr_lzw_encode.restype = ctypes.c_int64
+    lib.pcr_lzw_decode.argtypes = [u8c, ctypes.c_int64, u8c, ctypes.c_int64]
+    lib.pcr_lzw_decode.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -151,3 +157,29 @@ def fractional_cells(cfg, x: np.ndarray, y: np.ndarray):
                            _ptr(sub_cx, ctypes.c_float),
                            _ptr(sub_cy, ctypes.c_float))
     return icx, icy, sub_cx, sub_cy
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Native TIFF LZW encode (byte-compatible with io.geotiff.lzw_encode)."""
+    L = _load()
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    # worst case ~12/8 expansion plus slack
+    out = np.empty(n * 2 + 64, np.uint8)
+    m = L.pcr_lzw_encode(_ptr(src, ctypes.c_uint8), n,
+                         _ptr(out, ctypes.c_uint8), len(out))
+    if m < 0:
+        raise RuntimeError("native LZW encode overflow")
+    return out[:m].tobytes()
+
+
+def lzw_decode(data: bytes, max_out: int) -> bytes:
+    """Native TIFF LZW decode; max_out bounds the decoded size."""
+    L = _load()
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(max_out, np.uint8)
+    m = L.pcr_lzw_decode(_ptr(src, ctypes.c_uint8), len(src),
+                         _ptr(out, ctypes.c_uint8), max_out)
+    if m < 0:
+        raise RuntimeError("native LZW decode failed")
+    return out[:m].tobytes()

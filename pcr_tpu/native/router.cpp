@@ -81,9 +81,10 @@ void pcr_fractional_cells(const double* x, const double* y, int64_t n,
                           int32_t* out_icx, int32_t* out_icy,
                           float* out_sub_cx, float* out_sub_cy)
 {
-#pragma omp parallel for schedule(static)
     const double lim = 1073741824.0;   // clamp to int32-safe range before
-    for (int64_t i = 0; i < n; ++i) {  // casting (wild out-of-bounds points)
+                                       // casting (wild out-of-bounds points)
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
         const double fcx = (x[i] - origin_x) * inv_csx;
         const double fcy = (y[i] - origin_y) * inv_csy;
         double icx = std::floor(fcx);
@@ -108,6 +109,200 @@ int pcr_native_threads()
 #else
     return 1;
 #endif
+}
+
+} // extern "C"
+
+// ---------------------------------------------------------------------------
+// TIFF LZW codec (TIFF6 spec: MSB-first bit packing, 9->12 bit codes with
+// early change, ClearCode=256, EOI=257). ~100x the pure-Python codec in
+// io/geotiff.py and byte-compatible with it.
+// ---------------------------------------------------------------------------
+
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitWriter {
+    uint8_t* out;
+    int64_t cap;
+    int64_t pos = 0;
+    uint32_t buf = 0;
+    int nbits = 0;
+    bool overflow = false;
+
+    void emit(uint32_t code, int width) {
+        buf = (buf << width) | code;
+        nbits += width;
+        while (nbits >= 8) {
+            nbits -= 8;
+            if (pos < cap) out[pos++] = (uint8_t)((buf >> nbits) & 0xFF);
+            else overflow = true;
+        }
+        buf &= (1u << nbits) - 1;
+    }
+    void flush() {
+        if (nbits > 0) {
+            if (pos < cap) out[pos++] = (uint8_t)((buf << (8 - nbits)) & 0xFF);
+            else overflow = true;
+            nbits = 0;
+        }
+    }
+};
+
+constexpr int LZW_CLEAR = 256;
+constexpr int LZW_EOI = 257;
+constexpr int LZW_FIRST = 258;
+constexpr int LZW_TABLE_SZ = 1 << 13;     // hash table (power of two)
+
+} // namespace
+
+extern "C" {
+
+// Encode `n` bytes; returns compressed size, or -1 if `out` (capacity
+// out_cap) is too small. Greedy LZW with a (prefix_code, byte) hash table.
+int64_t pcr_lzw_encode(const uint8_t* in, int64_t n,
+                       uint8_t* out, int64_t out_cap)
+{
+    BitWriter w{out, out_cap};
+    // hash entries: key = (prefix << 8) | byte, value = code; 0 = empty
+    std::vector<int32_t> hash_key(LZW_TABLE_SZ, -1);
+    std::vector<int16_t> hash_val(LZW_TABLE_SZ, 0);
+
+    auto reset = [&]() {
+        std::fill(hash_key.begin(), hash_key.end(), -1);
+    };
+
+    int next_code = LZW_FIRST;
+    int width = 9;
+    w.emit(LZW_CLEAR, width);
+    if (n == 0) {
+        w.emit(LZW_EOI, width);
+        w.flush();
+        return w.overflow ? -1 : w.pos;
+    }
+
+    int cur = in[0];
+    for (int64_t i = 1; i < n; ++i) {
+        const int c = in[i];
+        const int32_t key = (cur << 8) | c;
+        // open-address probe
+        uint32_t h = ((uint32_t)key * 2654435761u) & (LZW_TABLE_SZ - 1);
+        int found = -1;
+        while (hash_key[h] != -1) {
+            if (hash_key[h] == key) { found = hash_val[h]; break; }
+            h = (h + 1) & (LZW_TABLE_SZ - 1);
+        }
+        if (found >= 0) {
+            cur = found;
+            continue;
+        }
+        w.emit((uint32_t)cur, width);
+        hash_key[h] = key;
+        hash_val[h] = (int16_t)next_code;
+        ++next_code;
+        // early change: widen when the next code to assign reaches 2^w - 1
+        if (next_code == (1 << width) - 1) {
+            if (width < 12) {
+                ++width;
+            } else {
+                w.emit(LZW_CLEAR, width);
+                reset();
+                next_code = LZW_FIRST;
+                width = 9;
+            }
+        }
+        cur = c;
+    }
+    w.emit((uint32_t)cur, width);
+    w.emit(LZW_EOI, width);
+    w.flush();
+    return w.overflow ? -1 : w.pos;
+}
+
+// Decode into `out` (capacity out_cap); returns decoded size or -1 on
+// corrupt input / overflow.
+int64_t pcr_lzw_decode(const uint8_t* in, int64_t n,
+                       uint8_t* out, int64_t out_cap)
+{
+    // table entries as (prev_code, last_byte, length)
+    std::vector<int32_t> prev(4096, -1);
+    std::vector<uint8_t> last(4096, 0);
+    std::vector<int32_t> len(4096, 0);
+    auto reset = [&]() {
+        for (int i = 0; i < 256; ++i) { prev[i] = -1; last[i] = (uint8_t)i; len[i] = 1; }
+    };
+    reset();
+    int table_n = LZW_FIRST;
+    int width = 9;
+    uint32_t buf = 0;
+    int nbits = 0;
+    int64_t ip = 0;
+    int64_t op = 0;
+    int prev_code = -1;
+
+    auto write_code = [&](int code) -> int64_t {
+        // expand backwards
+        int64_t l = len[code];
+        if (op + l > out_cap) return -1;
+        int64_t p = op + l;
+        int c = code;
+        while (c >= 0) {
+            out[--p] = last[c];
+            c = prev[c];
+        }
+        op += l;
+        return l;
+    };
+
+    while (true) {
+        while (nbits < width) {
+            if (ip >= n) return op;     // ran out without EOI: return what we have
+            buf = (buf << 8) | in[ip++];
+            nbits += 8;
+        }
+        nbits -= width;
+        int code = (int)((buf >> nbits) & ((1u << width) - 1));
+        buf &= (1u << nbits) - 1;
+        if (code == LZW_EOI) return op;
+        if (code == LZW_CLEAR) {
+            reset();
+            table_n = LZW_FIRST;
+            width = 9;
+            prev_code = -1;
+            continue;
+        }
+        if (prev_code < 0) {
+            if (code >= 256) return -1;
+            if (write_code(code) < 0) return -1;
+        } else if (code < table_n) {
+            if (write_code(code) < 0) return -1;
+            if (table_n < 4096) {
+                // new entry: prev_code + first byte of `code`
+                int c = code;
+                while (prev[c] >= 0) c = prev[c];
+                prev[table_n] = prev_code;
+                last[table_n] = last[c];
+                len[table_n] = len[prev_code] + 1;
+                ++table_n;
+            }
+        } else {
+            // KwKwK case
+            int c = prev_code;
+            while (prev[c] >= 0) c = prev[c];
+            uint8_t first = last[c];
+            prev[table_n] = prev_code;
+            last[table_n] = first;
+            len[table_n] = len[prev_code] + 1;
+            ++table_n;
+            if (write_code(table_n - 1) < 0) return -1;
+        }
+        prev_code = code;
+        // decoder lags the encoder's table by one entry, so it widens at
+        // (1 << width) - 2 where the encoder widens at -1 (see geotiff.py)
+        if (table_n >= (1 << width) - 2 && width < 12) ++width;
+    }
 }
 
 } // extern "C"

@@ -258,3 +258,20 @@ class TestStateCheckpointResume:
         p2.ingest(known_cloud())
         p2.finalize()
         assert p2.result().band_array(0)[0, 1] == 6.0   # fresh, not resumed
+
+
+class TestHybridMode:
+    def test_hybrid_matches_gpu_mode(self):
+        """Hybrid pipelines host routing against device accumulation; the
+        result must match the plain accelerated path exactly."""
+        gc = make_grid_config(w=50.0, h=50.0)
+        c = known_cloud()
+        out = {}
+        for mode in (pcr.ExecutionMode.GPU, pcr.ExecutionMode.Hybrid):
+            p = pipeline(gc, [pcr.ReductionSpec(value_channel="v",
+                                                type=RT.Sum)], mode)
+            p.ingest(c)
+            p.finalize()
+            out[mode] = p.result().band_array(0)
+        assert np.array_equal(out[pcr.ExecutionMode.GPU],
+                              out[pcr.ExecutionMode.Hybrid], equal_nan=True)

@@ -157,6 +157,8 @@ class Pipeline:
         self._plans = []                  # list of (spec, info)
         self._host_state = []             # CPU mode: per spec list[(H,W)]
         self._managers = []               # CPU out-of-core: TileManager/spec
+        self._collect = {}                # order-statistics specs: spec idx
+                                          #   -> list[(cells, values)]
         self._tiled = False
         self._engine = None               # jax mode: TpuEngine
         self._result: Grid | None = None
@@ -192,6 +194,8 @@ class Pipeline:
                     "glyph splatting only supports WeightedAverage, Average, "
                     "Sum, or Count reduction types"))
             p._plans.append((spec, info))
+            if info.scatter_kind == "collect":
+                p._collect[len(p._plans) - 1] = []
         p._init_state()
         p._load_existing_state()
         return p
@@ -328,6 +332,10 @@ class Pipeline:
                     raise PcrError(st)
             return
         for i, (spec, info) in enumerate(self._plans):
+            if info.scatter_kind == "collect":
+                # order statistics keep the raw stream, not K-float tile
+                # state; PCRT checkpointing does not apply
+                continue
             d = self._state_dir_for(i)
             os.makedirs(d, exist_ok=True)
             fields = (self._host_state[i] if self._backend == "cpu"
@@ -375,6 +383,13 @@ class Pipeline:
         for i, (spec, info) in enumerate(self._plans):
             n = cloud.count()
             values = self._values_for(spec, cloud, n)
+            if info.scatter_kind == "collect":
+                flat = (row[valid].astype(np.int64)
+                        * self.config.grid.width
+                        + col[valid].astype(np.int64))
+                per_spec.append(("collect", flat,
+                                 np.asarray(values, np.float32)[valid]))
+                continue
             weights, timestamps = self._aux_channels(spec, info, cloud, n)
             gt = GlyphType(spec.glyph.type)
             per_spec.append(self._prepare_jax(
@@ -396,7 +411,12 @@ class Pipeline:
                                         "pipeline: cancelled by user"))
         if isinstance(cloud, StagedCloud):
             for i in range(len(self._plans)):
-                self._engine.commit(i, cloud.per_spec[i])
+                staged = cloud.per_spec[i]
+                if (isinstance(staged, tuple) and staged
+                        and staged[0] == "collect"):
+                    self._collect[i].append((staged[1], staged[2]))
+                else:
+                    self._engine.commit(i, staged)
             self._track_tiles(cloud.col, cloud.row)
             self._points += cloud.n_valid
             self._collections += 1
@@ -462,6 +482,14 @@ class Pipeline:
     def _ingest_spec(self, i, spec, info, cloud, x, y, col, row, valid):
         n = cloud.count()
         values = self._values_for(spec, cloud, n)
+        if info.scatter_kind == "collect":
+            # Order statistics (Median/Percentile) retain the raw stream;
+            # the exact quantile is computed at finalize (ops/reduction.py).
+            flat = (row[valid].astype(np.int64) * self.config.grid.width
+                    + col[valid].astype(np.int64))
+            self._collect[i].append(
+                (flat, np.asarray(values, np.float32)[valid]))
+            return
         weights, timestamps = self._aux_channels(spec, info, cloud, n)
         gt = GlyphType(spec.glyph.type)
         if self._backend == "cpu":
@@ -678,6 +706,19 @@ class Pipeline:
             # Sum yields 0.0 for empty cells inside touched tiles and NaN
             # for untouched tiles.
             band = np.full((cfg.height, cfg.width), np.nan, dtype=np.float32)
+            if info.scatter_kind == "collect":
+                from ..ops.reduction import compute_percentile_band
+                pairs = self._collect.get(i, [])
+                cells = (np.concatenate([p[0] for p in pairs])
+                         if pairs else np.zeros(0, np.int64))
+                vals = (np.concatenate([p[1] for p in pairs])
+                        if pairs else np.zeros(0, np.float32))
+                q = (0.5 if ReductionType(spec.type) == ReductionType.Median
+                     else float(spec.percentile))
+                band = compute_percentile_band(
+                    cells, vals, (cfg.height, cfg.width), q)
+                grid.set_band_array(i, band)
+                continue
             if self._backend == "jax":
                 # finalize on device; fetch one band instead of K state fields
                 full = self._engine.finalize_band(i)

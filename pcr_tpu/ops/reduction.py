@@ -287,6 +287,63 @@ _register(ReductionType.MostRecent, "argmax_ts", _fields_mostrecent,
           _merge_mostrecent, _fin_mostrecent_arrays, uses_timestamp=True)
 
 
+# ---------------------------------------------------------------------------
+# Median / Percentile — order statistics (declared but never implemented in
+# the reference, registry.cpp:183-185 TODO).
+#
+# These are not K-float-state reductions: an exact per-cell quantile needs
+# every value. They are registered with scatter_kind='collect' — the
+# pipeline retains the raw (cell, value) stream (host RAM, ~8 B/point) and
+# finalize computes the quantile in one vectorized pass:
+# lexsort by (cell, value), segment boundaries, gather at
+# start + floor(q * (count - 1))   [lower-interpolation quantile].
+# ---------------------------------------------------------------------------
+
+def _quantile_identity():
+    return (float("nan"),)
+
+
+def compute_percentile_band(cells: np.ndarray, values: np.ndarray,
+                            shape, q: float) -> np.ndarray:
+    """Exact per-cell q-quantile (lower interpolation) of collected values.
+
+    cells: flat int64 cell ids; values: float32. Empty cells → NaN."""
+    H, W = shape
+    band = np.full(H * W, np.nan, dtype=np.float32)
+    if len(cells) == 0:
+        return band.reshape(H, W)
+    order = np.lexsort((values, cells))
+    c = cells[order]
+    v = values[order]
+    # segment starts
+    first = np.ones(len(c), dtype=bool)
+    first[1:] = c[1:] != c[:-1]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, len(c)))
+    qidx = starts + np.floor(q * (counts - 1)).astype(np.int64)
+    band[c[starts]] = v[qidx]
+    return band.reshape(H, W)
+
+
+def _register_collect(rtype):
+    op = ReductionOp(rtype, 1, (float("nan"),),
+                     lambda s, v, **kw: s, lambda a, b: a, lambda s: s[0])
+    _REGISTRY[rtype] = ReductionInfo(
+        type=rtype,
+        state_floats=1,
+        op=op,
+        identity=np.asarray([np.nan], dtype=np.float32),
+        scatter_kind="collect",
+        fields=_fields_sum,
+        merge_arrays=_merge_add,
+        finalize_arrays=_fin_sum,
+    )
+
+
+_register_collect(ReductionType.Median)
+_register_collect(ReductionType.Percentile)
+
+
 def get_reduction_info(rtype: ReductionType) -> ReductionInfo | None:
     """Look up a registered reduction (None if not registered,
     like registry.cpp:189-196)."""

@@ -179,7 +179,7 @@ class TestValidation:
         gc = make_grid_config(w=10.0, h=10.0)
         with pytest.raises(pcr.PcrError, match="unregistered"):
             pipeline(gc, [pcr.ReductionSpec(value_channel="v",
-                                            type=RT.Median)])
+                                            type=RT.PriorityMerge)])
 
     def test_missing_value_channel(self):
         gc = make_grid_config(w=10.0, h=10.0)

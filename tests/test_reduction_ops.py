@@ -123,11 +123,13 @@ class TestRegistry:
         for rt in (RT.Sum, RT.Max, RT.Min, RT.Count, RT.Average,
                    RT.WeightedAverage, RT.MostRecent):
             assert rt in regs
-        # unimplemented ops are not registered (registry.cpp:183-185)
-        assert not is_registered(RT.Median)
-        assert not is_registered(RT.Percentile)
+        # Median/Percentile are TODO in the reference (registry.cpp:183-185)
+        # but implemented here as collect-based order statistics
+        assert is_registered(RT.Median)
+        assert is_registered(RT.Percentile)
+        assert get_reduction_info(RT.Median).scatter_kind == "collect"
         assert not is_registered(RT.PriorityMerge)
-        assert get_reduction_info(RT.Median) is None
+        assert get_reduction_info(RT.PriorityMerge) is None
 
 
 class TestFinalizeArrays:

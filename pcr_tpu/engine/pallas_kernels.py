@@ -59,9 +59,16 @@ def padded_width(W: int) -> int:
 def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                               nsub: int, block: int, TH: int,
                               point_mode: bool, with_f1: bool,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              two_d: bool = False):
     """Build f(states, params_2d, bids) -> states (same math as
-    tpu_backend._build_sorted_matmul_update, fused in VMEM)."""
+    tpu_backend._build_sorted_matmul_update, fused in VMEM).
+
+    With two_d=True, bids encode (row_block * n_col_blocks + col_block):
+    entries are bucketed on BOTH axes, so the factor matmul shrinks from
+    (TH x B) @ (B x W_pad) to (TH x B) @ (B x CT) — for a 1024-wide grid
+    with CT=256, 4x fewer FLOPs and 4x less factor generation, at the cost
+    of a slightly larger halo duplication."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -77,7 +84,8 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     nseg = (3 if point_mode else 8) + (1 if with_f1 else 0)
     multi_tile = cfg.total_tiles() > 1
     tw, th_tile = cfg.tile_width, cfg.tile_height
-    nwt = W_pad // WT
+    ncb = W_pad // WT
+    nwt = 1 if two_d else ncb
     # Mosaic's dot lowering supports DEFAULT and HIGHEST only; HIGHEST is
     # required for the parity bar (DEFAULT would bf16-round the values).
     prec = jax.lax.Precision.HIGHEST
@@ -88,7 +96,12 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         i = pl.program_id(0)
         prev = bids_ref[jnp.maximum(i - 1, 0)]
         first = jnp.logical_or(i == 0, bids_ref[i] != prev)
-        row0 = bids_ref[i] * TH
+        if two_d:
+            row0 = (bids_ref[i] // ncb) * TH
+            col0 = (bids_ref[i] % ncb) * WT
+        else:
+            row0 = bids_ref[i] * TH
+            col0 = 0
 
         # params block: (1, nseg, block); column-vector (block, 1) views
         # (bitcast needs >= 2-D on TPU)
@@ -135,7 +148,7 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         # column tiles: generate factors in VMEM, matmul, accumulate
         for wt in range(nwt):
             ws_i = (jax.lax.broadcasted_iota(jnp.int32, (block, WT), 1)
-                    + wt * WT)
+                    + col0 + wt * WT)
             if point_mode:
                 wx = (ws_i == icx_c).astype(jnp.float32)
             else:
@@ -166,8 +179,12 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
 
     H_pad = round_up(H, TH)
     state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)
-    state_spec = lambda: pl.BlockSpec(
-        (TH, W_pad), lambda i, bids: (bids[i], 0))
+    if two_d:
+        state_spec = lambda: pl.BlockSpec(
+            (TH, WT), lambda i, bids: (bids[i] // ncb, bids[i] % ncb))
+    else:
+        state_spec = lambda: pl.BlockSpec(
+            (TH, W_pad), lambda i, bids: (bids[i], 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

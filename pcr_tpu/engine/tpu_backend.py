@@ -679,6 +679,31 @@ class TpuEngine:
             np.cumsum(k[:-1], out=starts[1:])
             eb = blk0[idx] + (np.arange(len(idx), dtype=np.int64)
                               - np.repeat(starts, k))
+        return self._layout_blocks(idx, eb, nblocks, block, seg_arrays,
+                                   layout)
+
+    def _bucket_blocks_2d(self, rb0, rb1, cb0, cb1, ncb, block, seg_arrays):
+        """2-D (row-block x col-block) halo bucketing for the Pallas
+        two_d splat: entry block id = rb * ncb + cb."""
+        n = len(rb0)
+        kr = (rb1 - rb0 + 1).astype(np.int64)
+        kc = (cb1 - cb0 + 1).astype(np.int64)
+        k = kr * kc
+        if (k == 1).all():
+            idx = np.arange(n, dtype=np.int64)
+            eb = rb0.astype(np.int64) * ncb + cb0
+        else:
+            idx = np.repeat(np.arange(n, dtype=np.int64), k)
+            starts = np.zeros(n, np.int64)
+            np.cumsum(k[:-1], out=starts[1:])
+            o = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, k)
+            kc_e = kc[idx]
+            eb = ((rb0[idx] + o // kc_e) * ncb + (cb0[idx] + o % kc_e))
+        nblocks = (self.H_pad // GAUSS_ROW_BLOCK) * ncb
+        return self._layout_blocks(idx, eb, nblocks, block, seg_arrays,
+                                   "sub_major")
+
+    def _layout_blocks(self, idx, eb, nblocks, block, seg_arrays, layout):
         # Block-bucket: for few blocks, per-block index extraction
         # (O(nblocks * n) linear scans) beats a sort on a slow host;
         # many blocks use numpy's stable (radix) argsort.
@@ -747,7 +772,7 @@ class TpuEngine:
         return buf, nsub, E
 
     def _pallas_builder(self, info, nsub, block, TH, point_mode, with_f1,
-                        nseg, E):
+                        nseg, E, two_d=False):
         """Zero-arg builder producing the fused Pallas update closed over a
         single packed [params | bids] buffer."""
         interpret = self.pallas == "interpret"
@@ -756,7 +781,8 @@ class TpuEngine:
         def build():
             from .pallas_kernels import build_sorted_splat_pallas
             upd = build_sorted_splat_pallas(
-                info, cfg, nsub, block, TH, point_mode, with_f1, interpret)
+                info, cfg, nsub, block, TH, point_mode, with_f1, interpret,
+                two_d=two_d)
 
             def fn(states, buf):
                 params_2d = buf[: nseg * E].reshape(nsub, nseg * block)
@@ -885,12 +911,20 @@ class TpuEngine:
                 (gp.sub_cx, 0), (gp.sub_cy, 0),
                 (gp.sx, 1.0), (gp.sy, 1.0), (r, -1), (f0, 0)]
         if self.pallas != "off":
+            # 2-D (row-block x col-block) bucketing: the kernel's factor
+            # matmul then spans only (TH, CT) per sub-chunk.
+            from .pallas_kernels import col_tile, padded_width
             block = min(block, PALLAS_BLOCK)   # bounded by scoped VMEM
-            buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs,
-                                                  layout="sub_major")
-            key = ("pallas_gauss", spec_idx, nsub, block, TH)
+            WT = col_tile(self.W)
+            ncb = padded_width(self.W) // WT
+            icx = gp.icx.astype(np.int64)
+            cb0 = np.where(valid, np.clip((icx - r) // WT, 0, ncb - 1), 0)
+            cb1 = np.where(valid, np.clip((icx + r) // WT, 0, ncb - 1), 0)
+            buf, nsub, E = self._bucket_blocks_2d(blk0, blk1, cb0, cb1,
+                                                  ncb, block, segs)
+            key = ("pallas_gauss2d", spec_idx, nsub, block, TH)
             builder = self._pallas_builder(info, nsub, block, TH, False,
-                                           False, len(segs), E)
+                                           False, len(segs), E, two_d=True)
             return [StagedChunk(key, self._put(buf), builder, n)]
         buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs)
         key = ("gauss_sorted", spec_idx, nsub, block, TH)

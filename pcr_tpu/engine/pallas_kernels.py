@@ -58,7 +58,7 @@ def padded_width(W: int) -> int:
 
 def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                               nsub: int, block: int, TH: int,
-                              point_mode: bool, with_f1: bool,
+                              point_mode, with_f1: bool,
                               interpret: bool = False,
                               two_d: bool = False):
     """Build f(states, params_2d, bids) -> states (same math as
@@ -80,8 +80,13 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     rtype = ReductionType(info.type)
     nf = 2 if rtype in (ReductionType.WeightedAverage,
                         ReductionType.Average) else 1
-    # point mode ships the lean layout [icx | icy | f0 | (f1)]
-    nseg = (3 if point_mode else 8) + (1 if with_f1 else 0)
+    # mode: 'gauss' (soft separable factors), 'point' (lean one-hot layout
+    # [icx | icy | f0 | (f1)]), 'rect' (interval x interval rectangles,
+    # layout [ax | bx | ay | by | f0 | (f1)] — Line glyph runs)
+    mode = ({True: "point", False: "gauss"}[point_mode]
+            if isinstance(point_mode, bool) else point_mode)
+    nseg = ({"point": 3, "rect": 5, "gauss": 8}[mode]
+            + (1 if with_f1 else 0))
     multi_tile = cfg.total_tiles() > 1
     tw, th_tile = cfg.tile_width, cfg.tile_height
     ncb = W_pad // WT
@@ -107,15 +112,23 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         # (bitcast needs >= 2-D on TPU)
         seg = lambda k: params_ref[0, k, :].reshape(block, 1)
         f32 = lambda k: pltpu.bitcast(seg(k), jnp.float32)
-        icx_c = seg(0)
-        icy_c = seg(1)
-        k_f0 = 2 if point_mode else 7
+        if mode == "rect":
+            r_ax, r_bx = seg(0), seg(1)
+            r_ay, r_by = seg(2), seg(3)
+            icx_c = icy_c = None
+            k_f0 = 4
+        else:
+            icx_c = seg(0)
+            icy_c = seg(1)
+            k_f0 = 2 if mode == "point" else 7
         f0 = f32(k_f0)
         f1 = f32(k_f0 + 1) if with_f1 else None
 
         # row factor (block, TH)
         hs_i = (jax.lax.broadcasted_iota(jnp.int32, (block, TH), 1) + row0)
-        if point_mode:
+        if mode == "rect":
+            wy = ((hs_i >= r_ay) & (hs_i <= r_by)).astype(jnp.float32)
+        elif mode == "point":
             my = hs_i == icy_c
             wy = my.astype(jnp.float32)
         else:
@@ -134,7 +147,7 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 my &= (hs_i >= rs) & (hs_i < re)
             wy = jnp.where(my, wy, 0.0)
 
-        if not point_mode:
+        if mode == "gauss":
             sub_cx = f32(2)
             sx = f32(4)
             rr = seg(6)
@@ -149,7 +162,9 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         for wt in range(nwt):
             ws_i = (jax.lax.broadcasted_iota(jnp.int32, (block, WT), 1)
                     + col0 + wt * WT)
-            if point_mode:
+            if mode == "rect":
+                wx = ((ws_i >= r_ax) & (ws_i <= r_bx)).astype(jnp.float32)
+            elif mode == "point":
                 wx = (ws_i == icx_c).astype(jnp.float32)
             else:
                 rdx = (ws_i.astype(jnp.float32)

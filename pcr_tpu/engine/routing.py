@@ -179,3 +179,95 @@ def line_params(spec: GlyphSpec, cfg: GridConfig,
     return LineParams(ix0=ix0.astype(np.int32), iy0=iy0.astype(np.int32),
                       ix1=ix1.astype(np.int32), iy1=iy1.astype(np.int32),
                       max_steps=max_steps, k_cells=k_cells)
+
+
+@dataclass
+class LineRects:
+    """A line decomposed into axis-aligned cell rectangles (runs).
+
+    The dual-step Bresenham walk (glyph_kernels.cu:252-279) advances the
+    major axis every iteration, so its visited cells form a staircase with
+    the exact closed form  m(k) = max(0, ceil((2*k*d_min - d_maj) /
+    (2*d_maj)))  (validated exhaustively against the walk in
+    tests/test_accumulator.py). Each staircase step is a contiguous run —
+    a 1-row (x-major) or 1-column (y-major) rectangle — so a line of C
+    cells becomes min(ddx, ddy) + 1 rectangles instead of C points.
+
+    Arrays are per-rectangle, clipped to the home tile and grid; empty
+    rectangles are dropped. `owner` maps back to the source point index.
+    """
+    ax: np.ndarray      # int32 col interval [ax, bx] inclusive
+    bx: np.ndarray
+    ay: np.ndarray      # int32 row interval [ay, by] inclusive
+    by: np.ndarray
+    owner: np.ndarray   # int64 source point index
+
+
+def _staircase_starts(j, dmaj, dmin):
+    """First major-axis step k with m(k) == j (j >= 1)."""
+    return (dmaj * (2 * j - 1)) // (2 * dmin) + 1
+
+
+def line_rects(lp: LineParams, cfg: GridConfig, valid: np.ndarray,
+               col: np.ndarray, row: np.ndarray) -> LineRects:
+    """Decompose lines into clipped cell rectangles (see LineRects)."""
+    n = len(lp.ix0)
+    ix0 = lp.ix0.astype(np.int64)
+    iy0 = lp.iy0.astype(np.int64)
+    ix1 = lp.ix1.astype(np.int64)
+    iy1 = lp.iy1.astype(np.int64)
+    ddx = np.abs(ix1 - ix0)
+    ddy = np.abs(iy1 - iy0)
+    sx = np.where(ix0 < ix1, 1, -1)
+    sy = np.where(iy0 < iy1, 1, -1)
+    xmaj = ddx >= ddy
+    dmaj = np.where(xmaj, ddx, ddy)
+    dmin = np.where(xmaj, ddy, ddx)
+    nruns = np.where(valid, dmin + 1, 0).astype(np.int64)
+
+    owner = np.repeat(np.arange(n, dtype=np.int64), nruns)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(nruns[:-1], out=starts[1:])
+    j = np.arange(len(owner), dtype=np.int64) - np.repeat(starts, nruns)
+
+    o_dmaj = dmaj[owner]
+    o_dmin = dmin[owner]
+    # run j covers major steps [k0(j), k0(j+1) - 1]
+    safe_dmin = np.maximum(o_dmin, 1)
+    k0 = np.where(j > 0, _staircase_starts(j, o_dmaj, safe_dmin), 0)
+    k1 = np.where(j < o_dmin,
+                  _staircase_starts(j + 1, o_dmaj, safe_dmin) - 1, o_dmaj)
+
+    o_xmaj = xmaj[owner]
+    o_sx = sx[owner]
+    o_sy = sy[owner]
+    # major-axis endpoints of the run, in grid coords
+    maj0 = np.where(o_xmaj, ix0[owner], iy0[owner])
+    smaj = np.where(o_xmaj, o_sx, o_sy)
+    p0 = maj0 + smaj * k0
+    p1 = maj0 + smaj * k1
+    lo = np.minimum(p0, p1)
+    hi = np.maximum(p0, p1)
+    # minor-axis coordinate of the run
+    min0 = np.where(o_xmaj, iy0[owner], ix0[owner])
+    smin = np.where(o_xmaj, o_sy, o_sx)
+    minor = min0 + smin * j
+
+    ax = np.where(o_xmaj, lo, minor)
+    bx = np.where(o_xmaj, hi, minor)
+    ay = np.where(o_xmaj, minor, lo)
+    by = np.where(o_xmaj, minor, hi)
+
+    # clip to the home tile (glyph footprints clip to the owner's tile)
+    cs, rs, ce, re = home_tile_ranges(cfg, col[owner].astype(np.int64),
+                                      row[owner].astype(np.int64))
+    ax = np.maximum(ax, cs)
+    bx = np.minimum(bx, ce - 1)
+    ay = np.maximum(ay, rs)
+    by = np.minimum(by, re - 1)
+    keep = (ax <= bx) & (ay <= by)
+    return LineRects(ax=ax[keep].astype(np.int32),
+                     bx=bx[keep].astype(np.int32),
+                     ay=ay[keep].astype(np.int32),
+                     by=by[keep].astype(np.int32),
+                     owner=owner[keep])

@@ -575,6 +575,8 @@ class TpuEngine:
             # sorted splat over (H_pad, W_state) states; everything else
             # uses flat scatter states.
             grid_shaped = (glyph_t == GlyphType.Gaussian
+                           or (glyph_t == GlyphType.Line
+                               and self.pallas != "off")
                            or (glyph_t == GlyphType.Point
                                and info.scatter_kind == "sum"
                                and self._point_pallas))
@@ -935,8 +937,37 @@ class TpuEngine:
         return [StagedChunk(key, self._put(buf), builder, n)]
 
     def prepare_line(self, spec_idx: int, lp, valid, values, col, row):
-        """Stage Line chunks (lp: routing.LineParams)."""
+        """Stage Line chunks (lp: routing.LineParams).
+
+        With the Pallas kernel available, each line decomposes into its
+        exact Bresenham runs (routing.line_rects — closed-form staircase,
+        clipped to home tile and grid) and the runs accumulate as interval
+        rectangles through the fused 2-D sorted splat: min(ddx,ddy)+1
+        entries per line instead of max(ddx,ddy)+1 scatter updates."""
         _, info = self.plans[spec_idx]
+        values = np.asarray(values, dtype=np.float32)
+        if self.pallas != "off":
+            from . import routing as _routing
+            from .pallas_kernels import col_tile, padded_width
+            rects = _routing.line_rects(lp, self.cfg, valid, col, row)
+            block = PALLAS_BLOCK
+            TH = GAUSS_ROW_BLOCK
+            WT = col_tile(self.W)
+            ncb = padded_width(self.W) // WT
+            rb0 = rects.ay.astype(np.int64) // TH
+            rb1 = rects.by.astype(np.int64) // TH
+            cb0 = rects.ax.astype(np.int64) // WT
+            cb1 = rects.bx.astype(np.int64) // WT
+            f0 = values[rects.owner]
+            # pad fill makes an empty interval (ax=1 > bx=0)
+            segs = [(rects.ax, 1), (rects.bx, 0),
+                    (rects.ay, 1), (rects.by, 0), (f0, 0)]
+            buf, nsub, E = self._bucket_blocks_2d(rb0, rb1, cb0, cb1,
+                                                  ncb, block, segs)
+            key = ("pallas_rect", spec_idx, nsub, block, TH)
+            builder = self._pallas_builder(info, nsub, block, TH, "rect",
+                                           False, len(segs), E, two_d=True)
+            return [StagedChunk(key, self._put(buf), builder, len(lp.ix0))]
         s = _LINE_SENTINEL
         ix0 = np.where(valid, lp.ix0, s).astype(np.int32)
         iy0 = np.where(valid, lp.iy0, s).astype(np.int32)

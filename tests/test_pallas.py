@@ -97,3 +97,52 @@ def test_pallas_multi_ingest_accumulates(monkeypatch):
     p.finalize()
     total = np.nansum(p.result().band_array(0))
     assert total == p.stats().points_processed
+
+
+def test_line_rect_pallas_matches_oracle(monkeypatch):
+    """Line glyphs via the rect-mode fused splat (pallas) must match the
+    oracle cell-for-cell (closed-form Bresenham runs)."""
+    gc = make_grid_config(w=200.0, h=150.0)
+    spec = pcr.line_splat_spec("v", default_direction=0.7,
+                               default_half_length=5.0,
+                               max_radius_cells=8.0)
+    oracle = run(pcr.ExecutionMode.CPU, [spec], gc, False, monkeypatch)
+    got = run(pcr.ExecutionMode.GPU, [spec], gc, True, monkeypatch)
+    assert_close(oracle, got)
+
+
+def test_line_rect_pallas_per_point_tiled(monkeypatch):
+    gc = make_grid_config(w=200.0, h=150.0, tile=64)
+    c = cloud()
+    rng = np.random.default_rng(5)
+    n = c.count()
+    c.add_channel("dir", pcr.DataType.Float32)
+    c.set_channel_array_f32("dir",
+                            rng.uniform(0, 6.28, n).astype(np.float32))
+    c.add_channel("hl", pcr.DataType.Float32)
+    c.set_channel_array_f32("hl",
+                            rng.uniform(0.5, 6.0, n).astype(np.float32))
+    spec = pcr.line_splat_spec("v", direction_channel="dir",
+                               half_length_channel="hl",
+                               max_radius_cells=8.0)
+    import copy
+
+    def run_cloud(mode, pallas):
+        if pallas:
+            monkeypatch.setenv("PCR_PALLAS", "interpret")
+        else:
+            monkeypatch.setenv("PCR_PALLAS", "0")
+        cfg = pcr.PipelineConfig()
+        cfg.grid = gc
+        cfg.reductions = [copy.deepcopy(spec)]
+        cfg.exec_mode = mode
+        p = pcr.Pipeline.create(cfg)
+        p.ingest(c)
+        p.finalize()
+        return p.result().band_array(0).copy()
+
+    a = run_cloud(pcr.ExecutionMode.CPU, False)
+    b = run_cloud(pcr.ExecutionMode.GPU, True)
+    assert (np.isnan(a) == np.isnan(b)).all()
+    m = ~np.isnan(a)
+    assert np.abs(a[m] - b[m]).max() <= 1e-5 + 1e-5 * np.abs(a[m]).max()

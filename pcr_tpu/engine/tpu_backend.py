@@ -706,9 +706,22 @@ class TpuEngine:
                                    "sub_major")
 
     def _layout_blocks(self, idx, eb, nblocks, block, seg_arrays, layout):
-        # Block-bucket: for few blocks, per-block index extraction
-        # (O(nblocks * n) linear scans) beats a sort on a slow host;
-        # many blocks use numpy's stable (radix) argsort.
+        visit_all = layout == "sub_major"
+        from .. import native
+        if native.available():
+            # native counting-sort layout: one pass count + one pass place
+            # (the slow throttled host makes numpy argsort paths minutes
+            # on 50M+ halo entries)
+            slots, bids, nsub = native.bucket_layout(
+                eb, nblocks, block, visit_all, _nsub_bucket)
+            E = nsub * block
+            sel = idx[np.maximum(slots, 0)]
+            live = slots >= 0
+            return self._pack_layout(sel, live, bids, nsub, E, block,
+                                     seg_arrays, layout)
+
+        # numpy fallback: per-block extraction for few blocks, stable
+        # (radix) argsort otherwise
         if nblocks <= 16:
             per_block = [idx[eb == b] for b in range(nblocks)]
             idx_s = np.concatenate(per_block) if nblocks > 1 else idx
@@ -718,7 +731,6 @@ class TpuEngine:
             idx_s = idx[order]
             counts = np.bincount(eb[order], minlength=nblocks)
 
-        visit_all = layout == "sub_major"
         per_block_subs = (counts + block - 1) // block
         if visit_all:
             per_block_subs = np.maximum(per_block_subs, 1)
@@ -749,8 +761,12 @@ class TpuEngine:
 
         sel = idx_s[np.maximum(slots, 0)]
         live = slots >= 0
-        all_live = bool(live.all())
+        return self._pack_layout(sel, live, bids, nsub, E, block,
+                                  seg_arrays, layout)
 
+    def _pack_layout(self, sel, live, bids, nsub, E, block, seg_arrays,
+                     layout):
+        all_live = bool(live.all())
         nseg = len(seg_arrays)
         buf = np.empty(nseg * E + nsub, dtype=np.int32)
         gathered = []

@@ -84,6 +84,13 @@ def _load():
     lib.pcr_lzw_encode.restype = ctypes.c_int64
     lib.pcr_lzw_decode.argtypes = [u8c, ctypes.c_int64, u8c, ctypes.c_int64]
     lib.pcr_lzw_decode.restype = ctypes.c_int64
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.pcr_bucket_nsub.argtypes = [i, ctypes.c_int64, ctypes.c_int32,
+                                    ctypes.c_int32, ctypes.c_int32]
+    lib.pcr_bucket_nsub.restype = ctypes.c_int64
+    lib.pcr_bucket_layout.argtypes = [i, ctypes.c_int64, ctypes.c_int32,
+                                      ctypes.c_int32, ctypes.c_int32,
+                                      ctypes.c_int64, i64, i]
     _LIB = lib
     return _LIB
 
@@ -183,3 +190,25 @@ def lzw_decode(data: bytes, max_out: int) -> bytes:
     if m < 0:
         raise RuntimeError("native LZW decode failed")
     return out[:m].tobytes()
+
+
+def bucket_layout(eb: np.ndarray, nblocks: int, block: int,
+                  visit_all: bool, nsub_bucket_fn):
+    """Native counting-sort layout for the sorted splat.
+
+    Returns (slots int64 (E,), bids int32 (nsub,), nsub) with -1 slots as
+    padding; trailing pads carry the last real block id."""
+    L = _load()
+    eb = np.ascontiguousarray(eb, np.int32)
+    n = len(eb)
+    nsub_real = L.pcr_bucket_nsub(_ptr(eb, ctypes.c_int32), n, nblocks,
+                                  block, int(visit_all))
+    nsub = nsub_bucket_fn(max(int(nsub_real), 1))
+    E = nsub * block
+    slots = np.empty(E, np.int64)
+    bids = np.zeros(nsub, np.int32)
+    L.pcr_bucket_layout(_ptr(eb, ctypes.c_int32), n, nblocks, block,
+                        int(visit_all), nsub,
+                        _ptr(slots, ctypes.c_int64),
+                        _ptr(bids, ctypes.c_int32))
+    return slots, bids, nsub

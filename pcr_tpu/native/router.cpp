@@ -306,3 +306,89 @@ int64_t pcr_lzw_decode(const uint8_t* in, int64_t n,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Block bucket layout — the sorted-splat's counting sort (the analogue of
+// the reference TileRouter's CUB radix sort, tile_router_kernels.cu:169-293).
+// Entries carry a block id eb[i] in [0, nblocks); the layout places them
+// block-contiguously with each block's run padded to a multiple of `block`
+// (and at least one sub-chunk per block when visit_all != 0).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Pass 1: number of sub-chunks the layout needs.
+int64_t pcr_bucket_nsub(const int32_t* eb, int64_t n, int32_t nblocks,
+                        int32_t block, int32_t visit_all)
+{
+    std::vector<int64_t> counts(nblocks, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t b = eb[i];
+        if (b >= 0 && b < nblocks) ++counts[b];
+    }
+    int64_t nsub = 0;
+    for (int32_t b = 0; b < nblocks; ++b) {
+        int64_t subs = (counts[b] + block - 1) / block;
+        if (visit_all && subs == 0) subs = 1;
+        nsub += subs;
+    }
+    return nsub;
+}
+
+// Pass 2: fill slot->entry indices (-1 = padding) and per-sub-chunk block
+// ids. out_slots has capacity nsub_total*block (nsub_total >= pass-1 nsub,
+// ladder-padded by the caller); trailing pad sub-chunks get the last block
+// id (the Pallas ascending-bids contract).
+void pcr_bucket_layout(const int32_t* eb, int64_t n, int32_t nblocks,
+                       int32_t block, int32_t visit_all,
+                       int64_t nsub_total,
+                       int64_t* out_slots, int32_t* out_bids)
+{
+    std::vector<int64_t> counts(nblocks, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t b = eb[i];
+        if (b >= 0 && b < nblocks) ++counts[b];
+    }
+    // per-block slot offsets (padded runs)
+    std::vector<int64_t> offs(nblocks + 1, 0);
+    int64_t epos = 0;
+    int32_t last_bid = 0;
+    for (int32_t b = 0; b < nblocks; ++b) {
+        offs[b] = epos;
+        int64_t subs = (counts[b] + block - 1) / block;
+        if (visit_all && subs == 0) subs = 1;
+        if (subs > 0) {
+            for (int64_t s = epos / block; s < epos / block + subs; ++s)
+                out_bids[s] = b;
+            last_bid = b;
+            epos += subs * block;
+        }
+    }
+    offs[nblocks] = epos;
+    const int64_t E = nsub_total * block;
+    for (int64_t i = epos; i < E; ++i) out_slots[i] = -1;
+    for (int64_t s = epos / block; s < nsub_total; ++s)
+        out_bids[s] = last_bid;
+    // init padding inside block runs
+    {
+        int64_t pos = 0;
+        for (int32_t b = 0; b < nblocks; ++b) {
+            int64_t subs = (counts[b] + block - 1) / block;
+            if (visit_all && subs == 0) subs = 1;
+            const int64_t run = subs * block;
+            if (run == 0) continue;
+            for (int64_t i = pos + counts[b]; i < pos + run; ++i)
+                out_slots[i] = -1;
+            pos += run;
+        }
+    }
+    // stable place
+    std::vector<int64_t> cursor(nblocks, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t b = eb[i];
+        if (b < 0 || b >= nblocks) continue;
+        out_slots[offs[b] + cursor[b]++] = i;
+    }
+}
+
+} // extern "C"

@@ -211,6 +211,14 @@ def _staircase_starts(j, dmaj, dmin):
 def line_rects(lp: LineParams, cfg: GridConfig, valid: np.ndarray,
                col: np.ndarray, row: np.ndarray) -> LineRects:
     """Decompose lines into clipped cell rectangles (see LineRects)."""
+    from .. import native
+    if native.available():
+        cs, rs, ce, re = home_tile_ranges(cfg, np.asarray(col, np.int64),
+                                          np.asarray(row, np.int64))
+        ax, bx, ay, by, owner = native.line_runs(
+            lp.ix0, lp.iy0, lp.ix1, lp.iy1, valid, cs, rs, ce, re)
+        return LineRects(ax=ax, bx=bx, ay=ay, by=by,
+                         owner=owner.astype(np.int64))
     n = len(lp.ix0)
     ix0 = lp.ix0.astype(np.int64)
     iy0 = lp.iy0.astype(np.int64)

@@ -91,6 +91,11 @@ def _load():
     lib.pcr_bucket_layout.argtypes = [i, ctypes.c_int64, ctypes.c_int32,
                                       ctypes.c_int32, ctypes.c_int32,
                                       ctypes.c_int64, i64, i]
+    lib.pcr_line_runs_count.argtypes = [i, i, i, i, u8, ctypes.c_int64]
+    lib.pcr_line_runs_count.restype = ctypes.c_int64
+    lib.pcr_line_runs_emit.argtypes = [i, i, i, i, u8] + [i] * 4 + \
+        [ctypes.c_int64] + [i] * 5
+    lib.pcr_line_runs_emit.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -212,3 +217,41 @@ def bucket_layout(eb: np.ndarray, nblocks: int, block: int,
                         _ptr(slots, ctypes.c_int64),
                         _ptr(bids, ctypes.c_int32))
     return slots, bids, nsub
+
+
+def line_runs(ix0, iy0, ix1, iy1, valid, clip_cs, clip_rs, clip_ce,
+              clip_re):
+    """Native closed-form Bresenham run expansion (clipped rectangles).
+
+    Returns (ax, bx, ay, by, owner) int32 arrays."""
+    L = _load()
+    n = len(ix0)
+    ix0 = np.ascontiguousarray(ix0, np.int32)
+    iy0 = np.ascontiguousarray(iy0, np.int32)
+    ix1 = np.ascontiguousarray(ix1, np.int32)
+    iy1 = np.ascontiguousarray(iy1, np.int32)
+    v = np.ascontiguousarray(valid, np.uint8)
+    cs = np.ascontiguousarray(clip_cs, np.int32)
+    rs = np.ascontiguousarray(clip_rs, np.int32)
+    ce = np.ascontiguousarray(clip_ce, np.int32)
+    re = np.ascontiguousarray(clip_re, np.int32)
+    cap = int(L.pcr_line_runs_count(_ptr(ix0, ctypes.c_int32),
+                                    _ptr(iy0, ctypes.c_int32),
+                                    _ptr(ix1, ctypes.c_int32),
+                                    _ptr(iy1, ctypes.c_int32),
+                                    _ptr(v, ctypes.c_uint8), n))
+    ax = np.empty(cap, np.int32)
+    bx = np.empty(cap, np.int32)
+    ay = np.empty(cap, np.int32)
+    by = np.empty(cap, np.int32)
+    owner = np.empty(cap, np.int32)
+    m = int(L.pcr_line_runs_emit(
+        _ptr(ix0, ctypes.c_int32), _ptr(iy0, ctypes.c_int32),
+        _ptr(ix1, ctypes.c_int32), _ptr(iy1, ctypes.c_int32),
+        _ptr(v, ctypes.c_uint8),
+        _ptr(cs, ctypes.c_int32), _ptr(rs, ctypes.c_int32),
+        _ptr(ce, ctypes.c_int32), _ptr(re, ctypes.c_int32), n,
+        _ptr(ax, ctypes.c_int32), _ptr(bx, ctypes.c_int32),
+        _ptr(ay, ctypes.c_int32), _ptr(by, ctypes.c_int32),
+        _ptr(owner, ctypes.c_int32)))
+    return ax[:m], bx[:m], ay[:m], by[:m], owner[:m]

@@ -392,3 +392,108 @@ void pcr_bucket_layout(const int32_t* eb, int64_t n, int32_t nblocks,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Line run expansion — closed-form Bresenham staircase decomposition
+// (see engine/routing.py line_rects; semantics validated exhaustively
+// against the reference walk). Emits one clipped rectangle per staircase
+// run: [ax, bx] x [ay, by] plus the owning point index.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Pass 1: total run count over valid lines.
+int64_t pcr_line_runs_count(const int32_t* ix0, const int32_t* iy0,
+                            const int32_t* ix1, const int32_t* iy1,
+                            const uint8_t* valid, int64_t n)
+{
+    int64_t total = 0;
+#pragma omp parallel for schedule(static) reduction(+:total)
+    for (int64_t i = 0; i < n; ++i) {
+        if (!valid[i]) continue;
+        const int64_t ddx = std::abs((int64_t)ix1[i] - ix0[i]);
+        const int64_t ddy = std::abs((int64_t)iy1[i] - iy0[i]);
+        total += (ddx < ddy ? ddx : ddy) + 1;
+    }
+    return total;
+}
+
+// Pass 2: emit clipped runs. clip_* give each point's home-tile cell range
+// (end-exclusive). Returns the number of emitted (non-empty) rects.
+int64_t pcr_line_runs_emit(const int32_t* ix0, const int32_t* iy0,
+                           const int32_t* ix1, const int32_t* iy1,
+                           const uint8_t* valid,
+                           const int32_t* clip_cs, const int32_t* clip_rs,
+                           const int32_t* clip_ce, const int32_t* clip_re,
+                           int64_t n,
+                           int32_t* out_ax, int32_t* out_bx,
+                           int32_t* out_ay, int32_t* out_by,
+                           int32_t* out_owner)
+{
+    // per-line output offsets (prefix over run counts) so the emit loop is
+    // embarrassingly parallel; fully-clipped runs stay as inert empty
+    // rectangles (ax > bx) that the splat kernel's interval masks zero out
+    std::vector<int64_t> offs(n + 1, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t runs = 0;
+        if (valid[i]) {
+            const int64_t ddx = std::abs((int64_t)ix1[i] - ix0[i]);
+            const int64_t ddy = std::abs((int64_t)iy1[i] - iy0[i]);
+            runs = (ddx < ddy ? ddx : ddy) + 1;
+        }
+        offs[i + 1] = offs[i] + runs;
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        if (!valid[i]) continue;
+        int64_t m = offs[i];
+        const int64_t ddx = std::abs((int64_t)ix1[i] - ix0[i]);
+        const int64_t ddy = std::abs((int64_t)iy1[i] - iy0[i]);
+        const bool xmaj = ddx >= ddy;
+        const int64_t dmaj = xmaj ? ddx : ddy;
+        const int64_t dmin = xmaj ? ddy : ddx;
+        const int32_t sx = ix0[i] < ix1[i] ? 1 : -1;
+        const int32_t sy = iy0[i] < iy1[i] ? 1 : -1;
+        const int64_t maj0 = xmaj ? ix0[i] : iy0[i];
+        const int32_t smaj = xmaj ? sx : sy;
+        const int64_t min0 = xmaj ? iy0[i] : ix0[i];
+        const int32_t smin = xmaj ? sy : sx;
+        const int32_t cs = clip_cs[i], ce = clip_ce[i];
+        const int32_t rs = clip_rs[i], re = clip_re[i];
+        int64_t k0 = 0;
+        for (int64_t j = 0; j <= dmin; ++j) {
+            // k range of run j: [k0, k1]
+            const int64_t k1 = (j < dmin)
+                ? (dmaj * (2 * j + 1)) / (2 * dmin)   // start of run j+1, -1
+                : dmaj;
+            const int64_t p0 = maj0 + (int64_t)smaj * k0;
+            const int64_t p1 = maj0 + (int64_t)smaj * k1;
+            const int64_t lo = p0 < p1 ? p0 : p1;
+            const int64_t hi = p0 < p1 ? p1 : p0;
+            const int64_t minor = min0 + (int64_t)smin * j;
+            int64_t ax = xmaj ? lo : minor;
+            int64_t bx = xmaj ? hi : minor;
+            int64_t ay = xmaj ? minor : lo;
+            int64_t by = xmaj ? minor : hi;
+            if (ax < cs) ax = cs;
+            if (bx > ce - 1) bx = ce - 1;
+            if (ay < rs) ay = rs;
+            if (by > re - 1) by = re - 1;
+            if (ax <= bx && ay <= by) {
+                out_ax[m] = (int32_t)ax;
+                out_bx[m] = (int32_t)bx;
+                out_ay[m] = (int32_t)ay;
+                out_by[m] = (int32_t)by;
+            } else {
+                out_ax[m] = 1; out_bx[m] = 0;   // inert empty rectangle
+                out_ay[m] = 1; out_by[m] = 0;
+            }
+            out_owner[m] = (int32_t)i;
+            ++m;
+            k0 = k1 + 1;
+        }
+    }
+    return offs[n];
+}
+
+} // extern "C"

@@ -42,7 +42,30 @@ BASELINES = {
 }
 
 
+def wait_for_device():
+    """The remote-attached TPU tunnel has transient outages where the jax
+    backend fails to initialise. Probe in a subprocess (a failed init can be
+    cached in-process) and retry before touching jax here."""
+    import subprocess
+    probe = ("import jax; "
+             "assert any(d.platform != 'cpu' for d in jax.devices())")
+    deadline = time.monotonic() + float(os.environ.get("PCR_BENCH_WAIT", 600))
+    while True:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, timeout=180)
+        if r.returncode == 0:
+            return True
+        if time.monotonic() > deadline:
+            print("# no accelerator after wait; benching anyway",
+                  file=sys.stderr)
+            return False
+        print("# accelerator unavailable (tunnel outage?), retrying in 20s",
+              file=sys.stderr)
+        time.sleep(20)
+
+
 def main():
+    wait_for_device()
     import pcr_tpu as pcr
 
     bbox = pcr.BBox()
@@ -63,6 +86,8 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="pcr_bench_")
 
+    accum = {}
+
     def run(name, spec, host_sourced=False):
         cfg = pcr.PipelineConfig()
         cfg.grid = gc
@@ -82,9 +107,26 @@ def main():
             pipe.finalize()
             best = min(best, time.perf_counter() - t0)
         mpts = N / best / 1e6
+        if not host_sourced:
+            # pure device-accumulate throughput, amortized over K ingests
+            # (the ingest+finalize wall above is dominated by a fixed
+            # ~0.3s floor on this remote tunnel: result D2H + TIFF write
+            # on a 1-core host + dispatch latency)
+            K = 5
+            t0 = time.perf_counter()
+            for _ in range(K):
+                pipe.ingest(src)
+            pipe.finalize()
+            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            pipe.finalize()
+            dt -= time.perf_counter() - t1
+            accum[name] = round(N * K / max(dt, 1e-9) / 1e6, 2)
         print(f"# {name:16s} best {best:7.3f}s  {mpts:8.2f} Mpts/s  "
               f"(baseline {BASELINES[name]:6.2f}, "
-              f"x{mpts / BASELINES[name]:.2f})", file=sys.stderr)
+              f"x{mpts / BASELINES[name]:.2f})"
+              + (f"  accum {accum[name]:.1f}" if name in accum else ""),
+              file=sys.stderr)
         return mpts
 
     details = {}
@@ -114,8 +156,18 @@ def main():
         "vs_baseline": round(value / BASELINES["point_device"], 3),
         "details": {k: {"mpts_per_s": round(v, 2),
                         "baseline": BASELINES[k],
-                        "vs_baseline": round(v / BASELINES[k], 3)}
+                        "vs_baseline": round(v / BASELINES[k], 3),
+                        **({"device_accumulate_mpts_per_s": accum[k]}
+                           if k in accum else {})}
                     for k, v in details.items()},
+        "env": {
+            "host_cpu_count": os.cpu_count(),
+            "note": ("TPU reached via remote tunnel (~50 MB/s host link, "
+                     "~10-30 ms dispatch RTT); ingest+finalize wall "
+                     "includes result D2H + LZW GeoTIFF write on the "
+                     "1-core host, reference GPU baseline is PCIe-local "
+                     "with a 6-core host"),
+        },
     }
     print(json.dumps(out))
 

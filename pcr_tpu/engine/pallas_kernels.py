@@ -152,6 +152,31 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
             sx = f32(4)
             rr = seg(6)
 
+        # Contraction. In point/rect modes the row factor is a 0/1 mask —
+        # exact in bfloat16 — so a 3-limb bf16 split of the value-carrying
+        # column factor reproduces f32 results in 3 single-pass MXU dots
+        # (vs HIGHEST's 6 passes): b0+b1+b2 == col exactly (each residual
+        # is f32-representable), 0/1·bf16 products are exact, and the f32
+        # accumulator matches HIGHEST's. Gaussian factors are soft floats
+        # on both sides, so they keep HIGHEST.
+        dims = (((0,), (0,)), ((), ()))
+        if mode == "gauss":
+            acc_dot = lambda a, b, exact_b=False: jax.lax.dot_general(
+                a, b, dims, precision=prec,
+                preferred_element_type=jnp.float32)
+        else:
+            def acc_dot(a, b, exact_b=False):
+                a16 = a.astype(jnp.bfloat16)
+                dot = lambda bb: jax.lax.dot_general(
+                    a16, bb.astype(jnp.bfloat16), dims,
+                    preferred_element_type=jnp.float32)
+                if exact_b:                 # column is a 0/1 mask too
+                    return dot(b)
+                b0 = b.astype(jnp.bfloat16).astype(jnp.float32)
+                r1 = b - b0
+                b1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                return dot(b0) + dot(b1) + dot(r1 - b1)
+
         # initialise the VMEM accumulators on the first sub-chunk of a run
         @pl.when(first)
         def _():
@@ -181,16 +206,12 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 wx = jnp.where(mx, wx, 0.0)
 
             sl = pl.ds(wt * WT, WT)
-            c0 = jax.lax.dot_general(
-                wy, wx * f0, (((0,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32)
-            out_refs[0][:, sl] += c0
+            out_refs[0][:, sl] += acc_dot(wy, wx * f0)
             if nf == 2:
-                col1 = wx * f1 if with_f1 else wx
-                c1 = jax.lax.dot_general(
-                    wy, col1, (((0,), (0,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32)
-                out_refs[1][:, sl] += c1
+                if with_f1:
+                    out_refs[1][:, sl] += acc_dot(wy, wx * f1)
+                else:
+                    out_refs[1][:, sl] += acc_dot(wy, wx, exact_b=True)
 
     H_pad = round_up(H, TH)
     state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)

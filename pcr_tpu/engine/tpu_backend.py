@@ -562,13 +562,14 @@ class TpuEngine:
         self._grid_shaped = []
         self._jits = {}
         from .glyph import GlyphType
-        # Point-sum specs only take the Pallas path when opted in (or in
-        # interpret mode, which exists to test the kernel); see
-        # prepare_point for the measured scatter-vs-matmul tradeoff.
+        # Point-sum specs default to the fused Pallas splat: with the
+        # 3-limb bf16 contraction (exact for one-hot factors) it measures
+        # 143 Mpts/s (Sum) / 69 Mpts/s (Average) on v5e at 5M points vs
+        # ~53 Mpts/s for XLA scatter. PCR_POINT_PALLAS=0 restores scatter.
         self._point_pallas = (
             self.pallas == "interpret"
             or (self.pallas == "compiled"
-                and os.environ.get("PCR_POINT_PALLAS", "0") == "1"))
+                and os.environ.get("PCR_POINT_PALLAS", "1") == "1"))
         for spec, info in plans:
             glyph_t = GlyphType(spec.glyph.type)
             # Gaussian splats (and opted-in sum-family Point specs) run the

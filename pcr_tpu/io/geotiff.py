@@ -366,20 +366,33 @@ def _tile_grid(width, height, tw, th):
 
 
 def _write_band_tiles(builder, band: np.ndarray, tw, th, compress, level):
-    """Write one band's tiles to the heap; return (offsets, bytecounts)."""
+    """Write one band's tiles to the heap; return (offsets, bytecounts).
+
+    Tiles are independent compression streams, and every codec used here
+    (native LZW via ctypes, zlib, zstd) releases the GIL — so encode them
+    concurrently and write sequentially in tile order."""
     h, w = band.shape
     tiles_x, tiles_y = _tile_grid(w, h, tw, th)
-    offsets, counts = [], []
+    raws = []
     for ty in range(tiles_y):
         for tx in range(tiles_x):
             tile = np.zeros((th, tw), dtype="<f4")
             ys, xs = ty * th, tx * tw
             ye, xe = min(ys + th, h), min(xs + tw, w)
             tile[: ye - ys, : xe - xs] = band[ys:ye, xs:xe]
-            raw = tile.tobytes()
-            data, _ = _compress(raw, compress, level)
-            offsets.append(builder.write_raw(data))
-            counts.append(len(data))
+            raws.append(tile.tobytes())
+    enc = lambda raw: _compress(raw, compress, level)[0]
+    workers = min(8, len(raws), os.cpu_count() or 1)
+    if workers > 1 and (compress or "NONE").upper() != "NONE":
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            encoded = list(pool.map(enc, raws))
+    else:
+        encoded = [enc(raw) for raw in raws]
+    offsets, counts = [], []
+    for data in encoded:
+        offsets.append(builder.write_raw(data))
+        counts.append(len(data))
     return offsets, counts
 
 

@@ -30,6 +30,7 @@ when the index changes.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -39,7 +40,7 @@ from ..ops.reduction import ReductionInfo
 
 __all__ = ["build_sorted_splat_pallas", "W_TILE", "round_up"]
 
-W_TILE = 256            # column tile for on-the-fly factor generation
+W_TILE = int(os.environ.get("PCR_W_TILE", 256))  # column tile width
 
 
 def round_up(x: int, m: int) -> int:
@@ -56,11 +57,21 @@ def padded_width(W: int) -> int:
     return round_up(W, col_tile(W))
 
 
+def rect_col_tile(W: int) -> int:
+    """Column tile for rect (Line-run) splats. Line runs are shallow
+    intervals, so the kernel is far from MXU-bound and a narrower tile
+    halves the per-entry contraction cost: measured on v5e at 5M points,
+    hl=16 accumulate goes 18.8 -> 72.1 Mpts/s at 128 vs 256 (gauss/point
+    splats prefer the wide tile). Always divides padded_width(W)."""
+    return min(int(os.environ.get("PCR_RECT_W_TILE", 128)), col_tile(W))
+
+
 def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                               nsub: int, block: int, TH: int,
                               point_mode, with_f1: bool,
                               interpret: bool = False,
-                              two_d: bool = False):
+                              two_d: bool = False,
+                              wt: int | None = None):
     """Build f(states, params_2d, bids) -> states (same math as
     tpu_backend._build_sorted_matmul_update, fused in VMEM).
 
@@ -75,8 +86,9 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     from jax.experimental.pallas import tpu as pltpu
 
     H, W = cfg.height, cfg.width
-    WT = col_tile(W)
+    WT = wt if wt else col_tile(W)
     W_pad = padded_width(W)
+    assert W_pad % WT == 0
     rtype = ReductionType(info.type)
     nf = 2 if rtype in (ReductionType.WeightedAverage,
                         ReductionType.Average) else 1

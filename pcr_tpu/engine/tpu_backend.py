@@ -791,7 +791,7 @@ class TpuEngine:
         return buf, nsub, E
 
     def _pallas_builder(self, info, nsub, block, TH, point_mode, with_f1,
-                        nseg, E, two_d=False):
+                        nseg, E, two_d=False, wt=None):
         """Zero-arg builder producing the fused Pallas update closed over a
         single packed [params | bids] buffer."""
         interpret = self.pallas == "interpret"
@@ -801,7 +801,7 @@ class TpuEngine:
             from .pallas_kernels import build_sorted_splat_pallas
             upd = build_sorted_splat_pallas(
                 info, cfg, nsub, block, TH, point_mode, with_f1, interpret,
-                two_d=two_d)
+                two_d=two_d, wt=wt)
 
             def fn(states, buf):
                 params_2d = buf[: nseg * E].reshape(nsub, nseg * block)
@@ -965,11 +965,11 @@ class TpuEngine:
         values = np.asarray(values, dtype=np.float32)
         if self.pallas != "off":
             from . import routing as _routing
-            from .pallas_kernels import col_tile, padded_width
+            from .pallas_kernels import padded_width, rect_col_tile
             rects = _routing.line_rects(lp, self.cfg, valid, col, row)
             block = PALLAS_BLOCK
             TH = GAUSS_ROW_BLOCK
-            WT = col_tile(self.W)
+            WT = rect_col_tile(self.W)
             ncb = padded_width(self.W) // WT
             rb0 = rects.ay.astype(np.int64) // TH
             rb1 = rects.by.astype(np.int64) // TH
@@ -983,7 +983,8 @@ class TpuEngine:
                                                   ncb, block, segs)
             key = ("pallas_rect", spec_idx, nsub, block, TH)
             builder = self._pallas_builder(info, nsub, block, TH, "rect",
-                                           False, len(segs), E, two_d=True)
+                                           False, len(segs), E, two_d=True,
+                                           wt=WT)
             return [StagedChunk(key, self._put(buf), builder, len(lp.ix0))]
         s = _LINE_SENTINEL
         ix0 = np.where(valid, lp.ix0, s).astype(np.int32)

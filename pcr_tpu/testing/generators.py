@@ -25,7 +25,7 @@ __all__ = [
     "make_grid_config", "generate_checkerboard", "generate_stripes",
     "generate_gradient", "generate_bullseye", "generate_uniform_grid",
     "generate_gaussian_clusters", "generate_planar_surface",
-    "generate_edge_cases",
+    "generate_edge_cases", "generate_text", "generate_shapes",
 ]
 
 _EPS = 1e-6
@@ -218,3 +218,87 @@ def generate_edge_cases(gc: GridConfig):
             expected[r, c] = (expected[r, c] + 1.0
                               if np.isfinite(expected[r, c]) else 1.0)
     return _cloud(x, y, vals), expected
+
+
+# 5x5 block font for generate_text (original glyph set; reference ships a
+# 3-letter font, test_generators.py:352-375 — this one covers A-Z subset
+# plus digits 0/1, unknown characters render blank)
+_FONT = {
+    "A": ["01110", "10001", "11111", "10001", "10001"],
+    "B": ["11110", "10001", "11110", "10001", "11110"],
+    "C": ["01111", "10000", "10000", "10000", "01111"],
+    "E": ["11111", "10000", "11110", "10000", "11111"],
+    "F": ["11111", "10000", "11110", "10000", "10000"],
+    "G": ["01111", "10000", "10011", "10001", "01110"],
+    "H": ["10001", "10001", "11111", "10001", "10001"],
+    "I": ["11111", "00100", "00100", "00100", "11111"],
+    "L": ["10000", "10000", "10000", "10000", "11111"],
+    "N": ["10001", "11001", "10101", "10011", "10001"],
+    "O": ["01110", "10001", "10001", "10001", "01110"],
+    "P": ["11110", "10001", "11110", "10000", "10000"],
+    "R": ["11110", "10001", "11110", "10010", "10001"],
+    "S": ["01111", "10000", "01110", "00001", "11110"],
+    "T": ["11111", "00100", "00100", "00100", "00100"],
+    "U": ["10001", "10001", "10001", "10001", "01110"],
+    "X": ["10001", "01010", "00100", "01010", "10001"],
+    "0": ["01110", "10011", "10101", "11001", "01110"],
+    "1": ["00100", "01100", "00100", "00100", "01110"],
+    " ": ["00000", "00000", "00000", "00000", "00000"],
+}
+
+
+def generate_text(gc: GridConfig, text="PCR", value_text=100.0,
+                  value_background=0.0, points_per_cell=1):
+    """Block-letter text centered in the raster (reference
+    test_generators.py:314-427: 5x5 letters, 2-cell spacing, points per
+    cell carry text/background values). Expected raster is exact."""
+    H, W = gc.height, gc.width
+    img = np.full((H, W), np.float32(value_background))
+    lw, lh, sp = 5, 5, 2
+    total_w = len(text) * lw + (len(text) - 1) * sp
+    r0 = max(0, (H - lh) // 2)
+    c0 = max(0, (W - total_w) // 2)
+    for i, ch in enumerate(text.upper()):
+        pat = _FONT.get(ch)
+        if pat is None:
+            continue
+        for r in range(lh):
+            for c in range(lw):
+                rr, cc = r0 + r, c0 + i * (lw + sp) + c
+                if pat[r][c] == "1" and 0 <= rr < H and 0 <= cc < W:
+                    img[rr, cc] = value_text
+    rows, cols = np.mgrid[0:H, 0:W]
+    cols_r = np.tile(cols.ravel(), points_per_cell)
+    rows_r = np.tile(rows.ravel(), points_per_cell)
+    x, y = _cell_centers(gc, cols_r, rows_r)
+    vals = np.tile(img.ravel(), points_per_cell)
+    return _cloud(x, y, vals), img
+
+
+def generate_shapes(gc: GridConfig, shape="circle", value_inside=100.0,
+                    value_outside=0.0, points_per_cell=1):
+    """Filled geometric shape over a background (reference
+    test_generators.py:429-500: circle r=0.7 / square s=0.7 / upward
+    triangle, coordinates normalized to [-1, 1]). Expected raster exact
+    (classified at cell centers)."""
+    H, W = gc.height, gc.width
+    rows, cols = np.mgrid[0:H, 0:W]
+    x_c, y_c = _cell_centers(gc, cols.ravel(), rows.ravel())
+    b = gc.bounds
+    nx = 2.0 * (x_c - (b.min_x + b.max_x) / 2) / (b.max_x - b.min_x)
+    ny = 2.0 * (y_c - (b.min_y + b.max_y) / 2) / (b.max_y - b.min_y)
+    if shape == "circle":
+        inside = np.sqrt(nx ** 2 + ny ** 2) <= 0.7
+    elif shape == "square":
+        inside = (np.abs(nx) <= 0.7) & (np.abs(ny) <= 0.7)
+    elif shape == "triangle":
+        inside = (ny <= 0.5) & (ny >= -0.8 * np.abs(nx) + 0.5)
+    else:
+        raise ValueError(f"unknown shape: {shape!r}")
+    img = np.where(inside.reshape(H, W), np.float32(value_inside),
+                   np.float32(value_outside))
+    cols_r = np.tile(cols.ravel(), points_per_cell)
+    rows_r = np.tile(rows.ravel(), points_per_cell)
+    x, y = _cell_centers(gc, cols_r, rows_r)
+    vals = np.tile(img.ravel(), points_per_cell)
+    return _cloud(x, y, vals), img

@@ -73,6 +73,23 @@ class TestExactPatterns:
         np.testing.assert_allclose(band[m], exp[m], atol=0)
         assert np.count_nonzero(np.isfinite(band)) >= m.sum()
 
+    def test_text(self, mode):
+        gc = gen.make_grid_config(40, 15)
+        cloud, exp = gen.generate_text(gc, "TPU", value_text=7.0,
+                                       value_background=1.0)
+        band = run(gc, cloud, RT.Average, mode)
+        np.testing.assert_allclose(band, exp, atol=1e-6)
+        assert (exp == 7.0).any() and (exp == 1.0).any()
+
+    @pytest.mark.parametrize("shape", ["circle", "square", "triangle"])
+    def test_shapes(self, mode, shape):
+        gc = gen.make_grid_config(32, 32)
+        cloud, exp = gen.generate_shapes(gc, shape, value_inside=5.0,
+                                         value_outside=-1.0)
+        band = run(gc, cloud, RT.Max, mode)
+        np.testing.assert_allclose(band, exp, atol=1e-6)
+        assert (exp == 5.0).any() and (exp == -1.0).any()
+
 
 def test_gaussian_cluster_structure():
     """Gaussian splats fill gaps: coverage with sigma=2 splats strictly

@@ -275,3 +275,47 @@ class TestHybridMode:
             out[mode] = p.result().band_array(0)
         assert np.array_equal(out[pcr.ExecutionMode.GPU],
                               out[pcr.ExecutionMode.Hybrid], equal_nan=True)
+
+
+def test_multichunk_fused_commit(monkeypatch):
+    """A staged ingest larger than the chunk ladder splits into several
+    chunks which commit as ONE fused jit call; the result must match the
+    CPU oracle exactly (shrunk ladder forces >= 3 chunks)."""
+    import copy
+
+    import numpy as np
+
+    from pcr_tpu.engine import tpu_backend as tb
+    from conftest import make_grid_config
+
+    monkeypatch.setattr(tb, "CHUNK_BUCKETS", (1024, 4096))
+    gc = make_grid_config(w=100.0, h=80.0)
+    rng = np.random.default_rng(3)
+    n = 10_000   # -> 2x4096 + 1x4096-bucket chunks
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(-2, 102, n))
+    c.set_y_array(rng.uniform(-2, 82, n))
+    c.add_channel("v", pcr.DataType.Float32)
+    c.set_channel_array_f32("v", rng.normal(0, 1, n).astype(np.float32))
+    spec = pcr.ReductionSpec(value_channel="v",
+                             type=pcr.ReductionType.Average)
+    outs = []
+    for mode in (pcr.ExecutionMode.CPU, pcr.ExecutionMode.GPU):
+        cfg = pcr.PipelineConfig()
+        cfg.grid = gc
+        cfg.reductions = [copy.deepcopy(spec)]
+        cfg.exec_mode = mode
+        p = pcr.Pipeline.create(cfg)
+        if mode == pcr.ExecutionMode.GPU:
+            staged = p.stage(c)
+            p.ingest(staged)
+            p.ingest(staged)        # repeat reuses the fused jit
+        else:
+            p.ingest(c)
+            p.ingest(c)
+        p.finalize()
+        outs.append(p.result().band_array(0).copy())
+    a, b = outs
+    assert (np.isnan(a) == np.isnan(b)).all()
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], atol=1e-5, rtol=1e-5)

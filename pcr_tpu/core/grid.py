@@ -10,7 +10,7 @@ supports real device residency via `to(MemoryLocation.Device)`.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -31,8 +31,8 @@ import numpy as np
 
 from ..core.grid_config import GridConfig
 from ..core.types import ReductionType, Status, StatusCode
-from ..ops.reduction import ReductionInfo, FLT_MAX
-from .glyph import GLYPH_SUPPORTED_REDUCTIONS, GlyphSpec, GlyphType
+from ..ops.reduction import ReductionInfo
+from .glyph import GLYPH_SUPPORTED_REDUCTIONS, GlyphSpec
 from . import routing
 
 __all__ = [

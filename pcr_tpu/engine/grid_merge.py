@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.types import ReductionType, Status, StatusCode
+from ..core.types import ReductionType, Status
 from ..ops.reduction import get_reduction_info
 
 __all__ = ["init_state", "merge_state", "finalize_state"]

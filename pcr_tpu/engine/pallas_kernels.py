@@ -29,7 +29,6 @@ when the index changes.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import numpy as np

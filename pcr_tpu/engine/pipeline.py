@@ -47,7 +47,7 @@ from ..core.types import (
     StatusCode, TileIndex, tpu_device_available,
 )
 from ..io import tile_state_io
-from ..ops.reduction import FLT_MAX, get_reduction_info
+from ..ops.reduction import get_reduction_info
 from . import cpu_backend as cpu
 from . import routing
 from .filter import FilterSpec, evaluate_filter_mask

@@ -24,7 +24,6 @@ pipeline/tests need (round-trips, parity comparison, resume inspection).
 
 from __future__ import annotations
 
-import math
 import os
 import struct
 import zlib

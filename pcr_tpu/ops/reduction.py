@@ -27,11 +27,11 @@ additionally carries a *vectorized plan*:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Sequence
+from typing import Callable
 
 import numpy as np
 
-from ..core.types import ReductionType, Status, StatusCode
+from ..core.types import ReductionType, Status
 
 __all__ = [
     "FLT_MAX", "ReductionOp", "ReductionInfo", "get_reduction_info",

@@ -28,7 +28,6 @@ replicated over 'sp'.
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 

@@ -7,7 +7,7 @@ import pytest
 import pcr_tpu as pcr
 from pcr_tpu.engine import cpu_backend as cpu
 from pcr_tpu.engine import routing
-from pcr_tpu.ops.reduction import FLT_MAX, get_reduction_info
+from pcr_tpu.ops.reduction import get_reduction_info
 from conftest import make_grid_config
 
 RT = pcr.ReductionType

@@ -1,7 +1,6 @@
 """GridConfig tests (reference: tests/cpp/test_grid_config.cpp:12-300)."""
 
 import numpy as np
-import pytest
 
 import pcr_tpu as pcr
 from conftest import make_grid_config

@@ -8,10 +8,9 @@ with PCR_FORCE_JAX=1) — the code path is identical on real TPUs.
 """
 
 import numpy as np
-import pytest
 
 import pcr_tpu as pcr
-from conftest import make_cloud, make_grid_config
+from conftest import make_grid_config
 
 RT = pcr.ReductionType
 PARITY_ATOL = 1e-5

@@ -1,9 +1,7 @@
 """TileManager tests (reference: tests/cpp/test_tile_manager.cpp:41-392)."""
 
-import os
 
 import numpy as np
-import pytest
 
 import pcr_tpu as pcr
 from pcr_tpu.engine.tile_manager import TileManager, TileManagerConfig

@@ -5,7 +5,6 @@ import os
 import struct
 
 import numpy as np
-import pytest
 
 import pcr_tpu as pcr
 from pcr_tpu.io.tile_state_io import (

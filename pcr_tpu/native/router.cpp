@@ -166,13 +166,16 @@ int64_t pcr_lzw_encode(const uint8_t* in, int64_t n,
                        uint8_t* out, int64_t out_cap)
 {
     BitWriter w{out, out_cap};
-    // hash entries: key = (prefix << 8) | byte, value = code; 0 = empty
+    // hash entries: key = (prefix << 8) | byte, value = code. Slots carry a
+    // generation stamp so a dictionary reset is O(1) — on incompressible
+    // data (e.g. random float rasters) the dictionary resets every ~3.9 KB
+    // of input, and a full-table fill there dominated the encoder.
     std::vector<int32_t> hash_key(LZW_TABLE_SZ, -1);
     std::vector<int16_t> hash_val(LZW_TABLE_SZ, 0);
+    std::vector<int32_t> hash_gen(LZW_TABLE_SZ, -1);
+    int32_t gen = 0;
 
-    auto reset = [&]() {
-        std::fill(hash_key.begin(), hash_key.end(), -1);
-    };
+    auto reset = [&]() { ++gen; };
 
     int next_code = LZW_FIRST;
     int width = 9;
@@ -187,10 +190,13 @@ int64_t pcr_lzw_encode(const uint8_t* in, int64_t n,
     for (int64_t i = 1; i < n; ++i) {
         const int c = in[i];
         const int32_t key = (cur << 8) | c;
-        // open-address probe
-        uint32_t h = ((uint32_t)key * 2654435761u) & (LZW_TABLE_SZ - 1);
+        // open-address probe (slot live iff its generation matches)
+        // Fibonacci hashing keeps the TOP bits: masking the low bits
+        // degenerates for run data (key = cur<<8 gives only 32 distinct
+        // low-bit slots -> pathological probe chains on constant spans)
+        uint32_t h = ((uint32_t)key * 2654435761u) >> (32 - 13);
         int found = -1;
-        while (hash_key[h] != -1) {
+        while (hash_gen[h] == gen) {
             if (hash_key[h] == key) { found = hash_val[h]; break; }
             h = (h + 1) & (LZW_TABLE_SZ - 1);
         }
@@ -201,6 +207,7 @@ int64_t pcr_lzw_encode(const uint8_t* in, int64_t n,
         w.emit((uint32_t)cur, width);
         hash_key[h] = key;
         hash_val[h] = (int16_t)next_code;
+        hash_gen[h] = gen;
         ++next_code;
         // early change: widen when the next code to assign reaches 2^w - 1
         if (next_code == (1 << width) - 1) {

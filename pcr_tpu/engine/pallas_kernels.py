@@ -244,11 +244,17 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         out_specs=[state_spec() for _ in range(nf)],
     )
 
+    # raise the scoped-VMEM cap (default 16 MB) so larger entry blocks fit;
+    # v5e/v5p have 128 MB VMEM per core
+    params = (None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=int(os.environ.get("PCR_VMEM_LIMIT",
+                                            96 * 1024 * 1024))))
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[state_shape] * nf,
         interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
     )
 
     def update(states, params_2d, bids):

@@ -353,7 +353,7 @@ def _build_sorted_matmul_update(info: ReductionInfo, cfg: GridConfig,
 
 
 GAUSS_ROW_BLOCK = 128          # TH: rows per block in the sorted splat
-PALLAS_BLOCK = 2048            # entries per Pallas sub-chunk (VMEM-bounded)
+PALLAS_BLOCK = int(os.environ.get("PCR_PALLAS_BLOCK", 2048))  # entries per sub-chunk (VMEM-bounded)
 _SUB_LADDER = (8, 32, 128, 512, 1024, 2048)   # nsub buckets (bounded jits)
 
 

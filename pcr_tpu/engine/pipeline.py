@@ -74,6 +74,7 @@ class ReductionSpec:
     type: ReductionType = ReductionType.Sum
     weight_channel: str = ""       # for WeightedAverage
     timestamp_channel: str = ""    # for MostRecent
+    priority_channel: str = ""     # for PriorityMerge
     percentile: float = 0.5        # for Percentile (not yet registered)
     output_band_name: str = ""
     glyph: GlyphSpec = dc_field(default_factory=GlyphSpec)
@@ -468,8 +469,14 @@ class Pipeline:
             weights = cloud.channel_array_f32(spec.weight_channel)
         timestamps = None
         if info.uses_timestamp:
-            if spec.timestamp_channel and cloud.has_channel(spec.timestamp_channel):
-                timestamps = cloud.channel_array_f32(spec.timestamp_channel)
+            is_prio = ReductionType(spec.type) == ReductionType.PriorityMerge
+            ch = spec.priority_channel if is_prio else spec.timestamp_channel
+            if ch and cloud.has_channel(ch):
+                timestamps = cloud.channel_array_f32(ch)
+            elif is_prio:
+                # no priority channel: every point ties, the deterministic
+                # argmax keeps the first-ingested value per cell
+                timestamps = np.zeros(n, dtype=np.float32)
             else:
                 # Fallback: ingestion order (later collections win).
                 # The reference leaves MostRecent unregistered; with no

@@ -119,6 +119,15 @@ _OPS = {
         _mostrecent_combine,
         lambda a, b: a if a[1] >= b[1] else b,
         lambda s: s[0]),
+    # Same argmax algebra as MostRecent with the per-point priority channel
+    # in the key slot ("keeps value with highest priority channel value",
+    # reference types.h:44 — left TODO in its registry,
+    # reduction_registry.cpp:185).
+    ReductionType.PriorityMerge: ReductionOp(
+        ReductionType.PriorityMerge, 2, (float("nan"), -FLT_MAX),
+        _mostrecent_combine,
+        lambda a, b: a if a[1] >= b[1] else b,
+        lambda s: s[0]),
 }
 
 
@@ -284,6 +293,10 @@ _register(ReductionType.Average, "sum", _fields_avg, _merge_add, _fin_avg_arrays
 _register(ReductionType.WeightedAverage, "sum", _fields_wavg, _merge_add,
           _fin_avg_arrays, uses_weight=True)
 _register(ReductionType.MostRecent, "argmax_ts", _fields_mostrecent,
+          _merge_mostrecent, _fin_mostrecent_arrays, uses_timestamp=True)
+# PriorityMerge rides the same deterministic argmax scatter; the pipeline
+# routes spec.priority_channel into the key slot.
+_register(ReductionType.PriorityMerge, "argmax_ts", _fields_mostrecent,
           _merge_mostrecent, _fin_mostrecent_arrays, uses_timestamp=True)
 
 

@@ -179,7 +179,7 @@ class TestValidation:
         gc = make_grid_config(w=10.0, h=10.0)
         with pytest.raises(pcr.PcrError, match="unregistered"):
             pipeline(gc, [pcr.ReductionSpec(value_channel="v",
-                                            type=RT.PriorityMerge)])
+                                            type=RT.Custom)])
 
     def test_missing_value_channel(self):
         gc = make_grid_config(w=10.0, h=10.0)
@@ -319,3 +319,39 @@ def test_multichunk_fused_commit(monkeypatch):
     assert (np.isnan(a) == np.isnan(b)).all()
     m = ~np.isnan(a)
     np.testing.assert_allclose(a[m], b[m], atol=1e-5, rtol=1e-5)
+
+
+def test_priority_merge(tmp_path):
+    """PriorityMerge keeps the value with the highest priority channel
+    value per cell (reference types.h:44 — TODO there, implemented here);
+    ties keep the first-ingested point. CPU and accelerator agree."""
+    import copy
+
+    import numpy as np
+
+    gc = make_grid_config(w=4.0, h=1.0)
+    n = 6
+    c = pcr.PointCloud.create(n)
+    #                 cell0  cell0  cell1  cell1  cell2  cell2(tie)
+    c.set_x_array(np.array([0.5, 0.5, 1.5, 1.5, 2.5, 2.5]))
+    c.set_y_array(np.full(n, 0.5))
+    c.add_channel("v", pcr.DataType.Float32)
+    c.set_channel_array_f32("v", np.array([1, 2, 3, 4, 5, 6], np.float32))
+    c.add_channel("prio", pcr.DataType.Float32)
+    c.set_channel_array_f32("prio",
+                            np.array([9, 1, 2, 8, 5, 5], np.float32))
+    spec = pcr.ReductionSpec(value_channel="v",
+                             type=pcr.ReductionType.PriorityMerge)
+    spec.priority_channel = "prio"
+    expected = [1.0, 4.0, 5.0]          # hi-prio wins; tie -> first point
+    for mode in (pcr.ExecutionMode.CPU, pcr.ExecutionMode.GPU):
+        cfg = pcr.PipelineConfig()
+        cfg.grid = gc
+        cfg.reductions = [copy.deepcopy(spec)]
+        cfg.exec_mode = mode
+        p = pcr.Pipeline.create(cfg)
+        p.ingest(c)
+        p.finalize()
+        band = p.result().band_array(0)[0]
+        assert list(band[:3]) == expected, (mode, band)
+        assert np.isnan(band[3])

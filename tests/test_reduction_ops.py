@@ -128,8 +128,12 @@ class TestRegistry:
         assert is_registered(RT.Median)
         assert is_registered(RT.Percentile)
         assert get_reduction_info(RT.Median).scatter_kind == "collect"
-        assert not is_registered(RT.PriorityMerge)
-        assert get_reduction_info(RT.PriorityMerge) is None
+        # PriorityMerge is TODO in the reference; implemented here as the
+        # same deterministic argmax scatter as MostRecent
+        assert is_registered(RT.PriorityMerge)
+        assert get_reduction_info(RT.PriorityMerge).scatter_kind == "argmax_ts"
+        assert not is_registered(RT.Custom)
+        assert get_reduction_info(RT.Custom) is None
 
 
 class TestFinalizeArrays:

@@ -427,6 +427,18 @@ class Pipeline:
         x = cloud.x_array()
         y = cloud.y_array()
 
+        # auto-reproject clouds whose CRS differs from the grid's (the
+        # reference declares these config fields but never reads them,
+        # pipeline.h:63-65 / SURVEY.md §2.3; native transforms here)
+        if (self.config.auto_reproject and cloud.crs().is_valid()
+                and self.config.grid.crs.is_valid()
+                and not cloud.crs().equivalent_to(self.config.grid.crs)):
+            from .reprojection import reproject_points
+            x, y, st = reproject_points(x, y, cloud.crs(),
+                                        self.config.grid.crs)
+            if not st.ok():
+                raise PcrError(st)
+
         # Filter (AND-combined predicates; empty spec passes all)
         if not self.config.filter.empty():
             keep = evaluate_filter_mask(cloud, self.config.filter)

@@ -35,7 +35,7 @@ from ..core.types import ReductionType
 from ..ops.reduction import FLT_MAX, ReductionInfo
 
 __all__ = ["make_mesh", "sharded_point_step", "sharded_gaussian_step",
-           "replicate_state", "shard_points"]
+           "sharded_line_step", "replicate_state", "shard_points"]
 
 
 def _jax():
@@ -197,7 +197,11 @@ def sharded_gaussian_step(info: ReductionInfo, H: int, W: int, mesh,
         sp_idx = jax.lax.axis_index("sp")
         row_off = (sp_idx * local_h).astype(jnp.int32)
         n = icx.shape[0]
-        nb = max(n // block, 1)
+        if n % block != 0:
+            raise ValueError(
+                f"per-shard point count {n} not divisible by block {block}; "
+                "pad inputs to a multiple of block * mesh.shape['dp']")
+        nb = n // block
 
         hs_i = jax.lax.broadcasted_iota(jnp.int32, (1, local_h), 1) + row_off
         ws_i = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -241,6 +245,80 @@ def sharded_gaussian_step(info: ReductionInfo, H: int, W: int, mesh,
         local, mesh=mesh,
         in_specs=(tuple(P("sp", None) for _ in range(nf)),) + tuple(
             P("dp") for _ in range(9)),
+        out_specs=tuple(P("sp", None) for _ in range(nf)),
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def sharded_line_step(info: ReductionInfo, H: int, W: int, mesh,
+                      block: int = 2048):
+    """Multi-chip Line-glyph splat in rect mode: line glyphs decompose on
+    the host into exact Bresenham runs (routing.line_rects); each chip
+    splats its dp shard of rectangles restricted to its sp row block as
+    interval x interval rank-1 factors, then deltas psum over 'dp'.
+
+    f(states, ax, bx, ay, by, valid, values) -> states
+
+    ax/bx/ay/by: per-rect inclusive cell intervals (int32); values: the
+    owning line's value gathered per rect. Empty intervals (ax > bx) are
+    inert, so padding needs no mask.
+    """
+    jax, jnp = _jax()
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rtype = ReductionType(info.type)
+    nf = 2 if rtype in (ReductionType.WeightedAverage,
+                        ReductionType.Average) else 1
+    use_val = rtype != ReductionType.Count
+    n_sp = mesh.shape["sp"]
+    local_h = H // n_sp
+
+    def local(states, ax, bx, ay, by, valid, values):
+        sp_idx = jax.lax.axis_index("sp")
+        row_off = (sp_idx * local_h).astype(jnp.int32)
+        n = ax.shape[0]
+        if n % block != 0:
+            raise ValueError(
+                f"per-shard rect count {n} not divisible by block {block}; "
+                "pad inputs to a multiple of block * mesh.shape['dp']")
+        nb = n // block
+
+        hs_i = jax.lax.broadcasted_iota(jnp.int32, (1, local_h), 1) + row_off
+        ws_i = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+        def body(carry, args):
+            bax, bbx, bay, bby, bvalid, bval = args
+            wy = ((hs_i >= bay[:, None]) & (hs_i <= bby[:, None])
+                  & bvalid[:, None]).astype(jnp.float32)
+            wx = ((ws_i >= bax[:, None])
+                  & (ws_i <= bbx[:, None])).astype(jnp.float32)
+            cols = ([wx * bval[:, None], wx] if nf == 2
+                    else ([wx * bval[:, None]] if use_val else [wx]))
+            colfac = (jnp.concatenate(cols, axis=1) if len(cols) > 1
+                      else cols[0])
+            contrib = jax.lax.dot_general(
+                wy, colfac, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            return tuple(carry[f] + contrib[:, f * W:(f + 1) * W]
+                         for f in range(nf)), None
+
+        def rb(a):
+            return a[: nb * block].reshape(nb, block)
+
+        zeros = tuple(
+            jax.lax.pvary(jnp.zeros((local_h, W), jnp.float32), ("dp", "sp"))
+            for _ in range(nf))
+        deltas, _ = jax.lax.scan(body, zeros, tuple(map(rb, (
+            ax, bx, ay, by, valid, values))))
+        return tuple(states[f] + jax.lax.psum(deltas[f], "dp")
+                     for f in range(nf))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(P("sp", None) for _ in range(nf)),) + tuple(
+            P("dp") for _ in range(6)),
         out_specs=tuple(P("sp", None) for _ in range(nf)),
     )
     return jax.jit(fn, donate_argnums=(0,))

@@ -13,7 +13,7 @@ from pcr_tpu.engine import cpu_backend as cpu
 from pcr_tpu.ops.reduction import get_reduction_info
 from pcr_tpu.parallel.sharding import (
     make_mesh, replicate_state, shard_points, sharded_gaussian_step,
-    sharded_point_step,
+    sharded_line_step, sharded_point_step,
 )
 from pcr_tpu.engine import routing
 from conftest import make_grid_config
@@ -114,6 +114,42 @@ def test_gaussian_step_matches_oracle(mesh):
     for f in range(2):
         np.testing.assert_allclose(np.asarray(states[f]), state[f],
                                    atol=2e-5)
+
+
+def test_line_step_matches_oracle(mesh):
+    """Rect-mode line splat over the mesh == CPU oracle (the line glyph
+    decomposes into exact Bresenham-run rectangles on the host)."""
+    gc = make_grid_config(w=float(W), h=float(H))
+    rng = np.random.default_rng(4)
+    n = 2048
+    x = rng.uniform(0, W, n)
+    y = rng.uniform(0, H, n)
+    values = rng.normal(0, 1, n).astype(np.float32)
+    dirs = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    spec = pcr.GlyphSpec(type=pcr.GlyphType.Line, default_half_length=4.0,
+                         max_radius_cells=8.0)
+    info = get_reduction_info(RT.Sum)
+
+    state = info.init_state((H, W))
+    col, row, valid = routing.assign(gc, x, y)
+    cpu.accumulate_line_cpu(spec, RT.Sum, gc, state, x, y, values,
+                            dirs, None, col, row)
+
+    lp = routing.line_params(spec, gc, x, y, dirs, None)
+    rects = routing.line_rects(lp, gc, valid, col, row)
+    m = len(rects.ax)
+    pad = (-m) % (512 * 8)     # per-dp-shard length divisible by block
+    def padded(a, fill):
+        return np.concatenate([a, np.full(pad, fill, a.dtype)])
+    step = sharded_line_step(info, H, W, mesh, block=512)
+    states = replicate_state(mesh, info.init_state((H, W)), H, W)
+    inputs = shard_points(
+        mesh, padded(rects.ax, 1), padded(rects.bx, 0),
+        padded(rects.ay, 1), padded(rects.by, 0),
+        padded(np.ones(m, bool), False),
+        padded(values[rects.owner], 0.0))
+    states = step(states, *inputs)
+    np.testing.assert_allclose(np.asarray(states[0]), state[0], atol=1e-5)
 
 
 def test_mesh_shapes():

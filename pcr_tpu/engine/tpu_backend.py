@@ -851,15 +851,23 @@ class TpuEngine:
             row = np.where(valid, row, np.int32(-1))
             f0, f1 = self._point_fields(info, values, weights, n)
             with_f1 = f1 is not None
-            blk = np.maximum(row, 0) // TH
             segs = [(col, -1), (row, -1), (f0, 0)]
             if with_f1:
                 segs.append((f1, 0))
-            buf, nsub, E = self._bucket_rowblocks(blk, blk, block, segs,
-                                                  layout="sub_major")
-            key = ("pallas_point", spec_idx, nsub, block, TH, with_f1)
+            # 2-D bucketing: each grid step contracts against one (TH, CT)
+            # state block instead of the full padded width — on wide grids
+            # (e.g. 8192 cols) the 1-D layout cost 32 column tiles per step
+            from .pallas_kernels import col_tile, padded_width
+            WT = col_tile(self.W)
+            ncb = padded_width(self.W) // WT
+            rb = np.maximum(row, 0) // TH
+            cb = np.maximum(col, 0) // WT
+            buf, nsub, E = self._bucket_blocks_2d(rb, rb, cb, cb, ncb,
+                                                  block, segs)
+            key = ("pallas_point2d", spec_idx, nsub, block, TH, with_f1)
             builder = self._pallas_builder(info, nsub, block, TH, True,
-                                           with_f1, len(segs), E)
+                                           with_f1, len(segs), E,
+                                           two_d=True)
             return [StagedChunk(key, self._put(buf), builder, n)]
 
         # scatter path (max/min/argmax_ts)

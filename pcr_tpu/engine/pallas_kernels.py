@@ -172,9 +172,11 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         # on both sides, so they keep HIGHEST.
         dims = (((0,), (0,)), ((), ()))
         if mode == "gauss":
-            # PCR_GAUSS_PASSES=4 opts into a 2x2-limb bf16 contraction:
-            # ~1.5e-5 relative error (vs HIGHEST's ~1e-7) for a 1.5x MXU
-            # rate — still inside the reference's own 1e-4 CPU/GPU bar.
+            # PCR_GAUSS_PASSES=4 opts into a 2x2-limb bf16 contraction
+            # (measured 3e-6 max relative deviation vs the oracle). The
+            # kernel is per-step-overhead-bound rather than MXU-pass-bound
+            # on v5e, so the measured gain is only ~6% at sigma=16 —
+            # HIGHEST stays the default.
             if os.environ.get("PCR_GAUSS_PASSES", "6") == "4":
                 def acc_dot(a, b, exact_b=False):
                     a0 = a.astype(jnp.bfloat16)

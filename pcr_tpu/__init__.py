@@ -104,32 +104,31 @@ def gaussian_splat_spec(
     max_radius_cells=32.0,
     output_band_name=None,
 ):
-    """
-    Return a ReductionSpec configured for Gaussian glyph splatting.
+    """Build a ``ReductionSpec`` that rasterizes each point as an
+    anisotropic Gaussian blob (WeightedAverage reduction).
 
-    Each point paints a Gaussian footprint across nearby cells, producing
-    smooth interpolated output even from sparse point clouds.
+    Instead of landing on a single cell, every point contributes
+    ``w = exp(-(dx²/2σx² + dy²/2σy²))`` to all cells within its truncated
+    elliptical footprint — useful for turning sparse clouds into smooth
+    continuous surfaces.  On the TPU backend axis-aligned blobs take the
+    separable matmul-splat path (two rank-1 MXU contractions per point
+    block); nonzero rotation routes through the rotated fast path.
 
-    Parameters
-    ----------
-    value_channel : str
-        Channel name to reduce (e.g., "intensity", "z").
-    sigma_x_channel : str, optional
-        Per-point channel for sigma along X (world units).
-    sigma_y_channel : str, optional
-        Per-point channel for sigma along Y (world units).
-    rotation_channel : str, optional
-        Per-point channel for ellipse rotation (radians).
-    default_sigma : float
-        Default sigma in world units when no per-point channel is set.
-    default_sigma_x, default_sigma_y : float, optional
-        Axis-specific overrides (default: default_sigma).
-    default_rotation : float
-        Default rotation angle in radians.
-    max_radius_cells : float
-        Footprint is clamped to this many cells in each direction.
-    output_band_name : str, optional
-        Name for the output raster band.
+    Arguments mirror the fields they populate on ``spec.glyph``:
+
+    - ``value_channel``: which point channel supplies the splatted value.
+    - ``sigma_x_channel`` / ``sigma_y_channel`` / ``rotation_channel``:
+      names of per-point channels overriding the ellipse shape.  An empty
+      string means "use the scalar default below for every point".
+    - ``default_sigma``: isotropic fallback σ (world units); the
+      per-axis ``default_sigma_x`` / ``default_sigma_y`` win when given.
+    - ``default_rotation``: fallback ellipse angle, radians CCW.
+    - ``max_radius_cells``: hard cap on the footprint half-width, in
+      cells, so one wild σ cannot splat the whole grid.
+    - ``output_band_name``: optional label for the resulting band.
+
+    Equivalent of the reference helper (python/pcr/__init__.py:73-131);
+    semantics of the kernel match glyph_kernels.cu:98-143.
     """
     spec = ReductionSpec()
     spec.value_channel = value_channel
@@ -160,11 +159,27 @@ def line_splat_spec(
     max_radius_cells=32.0,
     output_band_name=None,
 ):
-    """
-    Return a ReductionSpec configured for Line glyph splatting.
+    """Build a ``ReductionSpec`` that rasterizes each point as a thin
+    line segment (WeightedAverage reduction).
 
-    Each point paints a 1-pixel-wide Bresenham line segment centered on the
-    point, oriented along `direction` with total length 2 * `half_length`.
+    The segment is centered on the point, runs along ``direction``
+    (radians, 0 = +X/East), and spans ``half_length`` world units to
+    either side; cells are selected by Bresenham traversal so the stroke
+    stays one cell wide at any angle.  The TPU backend expands segments
+    into closed-form Bresenham runs and commits them via the rectangular
+    matmul-splat, so cost scales with covered cells, not with a per-point
+    loop.
+
+    - ``value_channel``: point channel whose value the stroke deposits.
+    - ``direction_channel`` / ``half_length_channel``: per-point
+      overrides; empty string selects the scalar defaults.
+    - ``default_direction`` / ``default_half_length``: used when no
+      per-point channel is named.
+    - ``max_radius_cells``: clamp on the stroke's reach in cells.
+    - ``output_band_name``: optional label for the resulting band.
+
+    Equivalent of the reference helper (python/pcr/__init__.py:134-181);
+    stroke semantics match glyph_kernels.cu:145-176.
     """
     spec = ReductionSpec()
     spec.value_channel = value_channel

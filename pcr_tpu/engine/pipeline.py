@@ -109,6 +109,14 @@ class PipelineConfig:
     cpu_threads: int = 0
     hybrid_cpu_threads: int = 0
 
+    # Multi-chip scale-out (TPU-native extension; the reference is
+    # single-device). Any of these engages the ShardedTpuEngine: state is
+    # sharded P('sp', None) over a ('dp', 'sp') jax.sharding.Mesh and every
+    # ingest merges over ICI collectives (parallel/sharding.py).
+    mesh_devices: object = None   # None | int (count) | list of jax devices
+    mesh_dp: int = 0              # data-parallel axis size (0 = auto)
+    mesh_sp: int = 0              # spatial (grid-row) axis size (0 = auto)
+
     # State persistence
     state_dir: str = ""
     resume: bool = False
@@ -262,11 +270,25 @@ class Pipeline:
                         info.init_state((cfg.height, cfg.width)))
         else:
             self._tiled = False
-            from .tpu_backend import TpuEngine
             import jax
-            devs = jax.devices()
-            idx = min(self.config.cuda_device_id, len(devs) - 1)
-            self._engine = TpuEngine(cfg, self._plans, device=devs[idx])
+            if (self.config.mesh_devices is not None
+                    or self.config.mesh_dp > 1 or self.config.mesh_sp > 1):
+                from ..parallel.engine import (
+                    ShardedTpuEngine, resolve_mesh_devices)
+                devs = resolve_mesh_devices(self.config.mesh_devices)
+                dp = self.config.mesh_dp or None
+                sp = self.config.mesh_sp or None
+                if devs is None:
+                    n = ((dp or 1) * (sp or 1)
+                         if (dp or sp) else len(jax.devices()))
+                    devs = jax.devices()[:n] if (dp and sp) else jax.devices()
+                self._engine = ShardedTpuEngine(
+                    cfg, self._plans, devices=devs, dp=dp, sp=sp)
+            else:
+                from .tpu_backend import TpuEngine
+                devs = jax.devices()
+                idx = min(self.config.cuda_device_id, len(devs) - 1)
+                self._engine = TpuEngine(cfg, self._plans, device=devs[idx])
 
     # -- state persistence ------------------------------------------------------
 

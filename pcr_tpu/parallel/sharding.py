@@ -35,13 +35,23 @@ from ..core.types import ReductionType
 from ..ops.reduction import FLT_MAX, ReductionInfo
 
 __all__ = ["make_mesh", "sharded_point_step", "sharded_gaussian_step",
-           "sharded_line_step", "replicate_state", "shard_points"]
+           "sharded_gaussian_rotated_step", "sharded_line_step",
+           "replicate_state", "shard_points"]
 
 
 def _jax():
     import jax
     import jax.numpy as jnp
     return jax, jnp
+
+
+def _vary(jax, x, axes):
+    """Mark a replicated-constant as varying over mesh axes (needed for
+    shard_map scan carries that later psum). pcast on new jax, pvary on
+    older releases."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axes, to="varying")
+    return jax.lax.pvary(x, axes)
 
 
 def make_mesh(devices=None, dp: int | None = None, sp: int | None = None):
@@ -175,12 +185,16 @@ def _argmax_ts_sharded(jax, jnp, states, lrows, lcols, mine, values, ts,
 
 
 def sharded_gaussian_step(info: ReductionInfo, H: int, W: int, mesh,
-                          block: int = 2048):
+                          block: int = 2048, cfg=None):
     """Multi-chip separable Gaussian splat (rotation-free): each chip runs
     the soft-one-hot matmul over its dp shard of points restricted to its
     sp row block, then deltas psum over 'dp'.
 
     f(states, icx, icy, sub_cx, sub_cy, sx, sy, r, valid, values) -> states
+
+    When `cfg` (a GridConfig with multiple tiles) is given, footprints are
+    additionally clipped to each point's home tile — the single-device
+    TileRouter semantics, needed for Pipeline-level oracle parity.
     """
     jax, jnp = _jax()
     from jax import shard_map
@@ -192,6 +206,7 @@ def sharded_gaussian_step(info: ReductionInfo, H: int, W: int, mesh,
     use_val = rtype != ReductionType.Count
     n_sp = mesh.shape["sp"]
     local_h = H // n_sp
+    multi_tile = cfg is not None and cfg.total_tiles() > 1
 
     def local(states, icx, icy, sub_cx, sub_cy, sx, sy, r, valid, values):
         sp_idx = jax.lax.axis_index("sp")
@@ -219,6 +234,12 @@ def sharded_gaussian_step(info: ReductionInfo, H: int, W: int, mesh,
             qx = rdx / bsx[:, None]
             wx = jnp.exp(-0.5 * qx * qx)
             mx = (jnp.abs(ws_i - bicx[:, None]) <= br[:, None]) & (wx >= 1e-6)
+            if multi_tile:
+                from ..engine.tpu_backend import _device_tile_clip
+                cs, ce, rs, re = _device_tile_clip(jnp, cfg, bicx, bicy)
+                my &= (hs_i >= rs[:, None]) & (hs_i < re[:, None])
+                mx &= (ws_i >= cs[:, None]) & (ws_i < ce[:, None])
+                wy = jnp.where(my & bvalid[:, None], wy, 0.0)
             wx = jnp.where(mx, wx, 0.0)
             cols = ([wx * bval[:, None], wx] if nf == 2
                     else ([wx * bval[:, None]] if use_val else [wx]))
@@ -234,7 +255,7 @@ def sharded_gaussian_step(info: ReductionInfo, H: int, W: int, mesh,
             return a[: nb * block].reshape(nb, block)
 
         zeros = tuple(
-            jax.lax.pvary(jnp.zeros((local_h, W), jnp.float32), ("dp", "sp"))
+            _vary(jax, jnp.zeros((local_h, W), jnp.float32), ("dp", "sp"))
             for _ in range(nf))
         deltas, _ = jax.lax.scan(body, zeros, tuple(map(rb, (
             icx, icy, sub_cx, sub_cy, sx, sy, r, valid, values))))
@@ -245,6 +266,83 @@ def sharded_gaussian_step(info: ReductionInfo, H: int, W: int, mesh,
         local, mesh=mesh,
         in_specs=(tuple(P("sp", None) for _ in range(nf)),) + tuple(
             P("dp") for _ in range(9)),
+        out_specs=tuple(P("sp", None) for _ in range(nf)),
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def sharded_gaussian_rotated_step(info: ReductionInfo, H: int, W: int, mesh,
+                                  rmax: int, cfg=None):
+    """Multi-chip exact rotated-Gaussian splat: each chip scatter-adds its
+    dp shard of points over the (2*rmax+1)^2 offset window (reference
+    semantics glyph_kernels.cu:145-176 incl. the 1e-6 cutoff), restricted
+    to its sp row block; deltas psum over 'dp'.
+
+    f(states, icx, icy, sub_cx, sub_cy, sx, sy, cos_rot, sin_rot, r,
+      valid, values) -> states
+    """
+    jax, jnp = _jax()
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rtype = ReductionType(info.type)
+    nf = 2 if rtype in (ReductionType.WeightedAverage,
+                        ReductionType.Average) else 1
+    use_val = rtype != ReductionType.Count
+    n_sp = mesh.shape["sp"]
+    local_h = H // n_sp
+    multi_tile = cfg is not None and cfg.total_tiles() > 1
+
+    def local(states, icx, icy, sub_cx, sub_cy, sx, sy, cos_rot, sin_rot,
+              r, valid, values):
+        sp_idx = jax.lax.axis_index("sp")
+        row_off = (sp_idx * local_h).astype(jnp.int32)
+        r = jnp.where(valid, r, -1)
+        if multi_tile:
+            from ..engine.tpu_backend import _device_tile_clip
+            cs, ce, rs, re = _device_tile_clip(jnp, cfg, icx, icy)
+        else:
+            cs, ce, rs, re = 0, W, 0, H
+
+        def body(carry, offsets):
+            dy, dx = offsets
+            gy = icy + dy
+            gx = icx + dx
+            rdy = dy.astype(jnp.float32) - sub_cy
+            rdx = dx.astype(jnp.float32) - sub_cx
+            rdx_rot = rdx * cos_rot - rdy * sin_rot
+            rdy_rot = rdx * sin_rot + rdy * cos_rot
+            qx = rdx_rot / sx
+            qy = rdy_rot / sy
+            w = jnp.exp(-0.5 * (qx * qx + qy * qy))
+            ly = gy - row_off
+            ok = ((w >= 1e-6)
+                  & (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r)
+                  & (gx >= cs) & (gx < ce) & (gy >= rs) & (gy < re)
+                  & (ly >= 0) & (ly < local_h))
+            w = jnp.where(ok, w, 0.0)
+            lys = jnp.where(ok, ly, 0)
+            gxs = jnp.where(ok, gx, 0)
+            out = list(carry)
+            out[0] = carry[0].at[lys, gxs].add(values * w if use_val else w)
+            if nf == 2:
+                out[1] = carry[1].at[lys, gxs].add(w)
+            return tuple(out), None
+
+        k = 2 * rmax + 1
+        dys = jnp.repeat(jnp.arange(-rmax, rmax + 1, dtype=jnp.int32), k)
+        dxs = jnp.tile(jnp.arange(-rmax, rmax + 1, dtype=jnp.int32), k)
+        zeros = tuple(
+            _vary(jax, jnp.zeros((local_h, W), jnp.float32), ("dp", "sp"))
+            for _ in range(nf))
+        deltas, _ = jax.lax.scan(body, zeros, (dys, dxs))
+        return tuple(states[f] + jax.lax.psum(deltas[f], "dp")
+                     for f in range(nf))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(P("sp", None) for _ in range(nf)),) + tuple(
+            P("dp") for _ in range(11)),
         out_specs=tuple(P("sp", None) for _ in range(nf)),
     )
     return jax.jit(fn, donate_argnums=(0,))
@@ -308,7 +406,7 @@ def sharded_line_step(info: ReductionInfo, H: int, W: int, mesh,
             return a[: nb * block].reshape(nb, block)
 
         zeros = tuple(
-            jax.lax.pvary(jnp.zeros((local_h, W), jnp.float32), ("dp", "sp"))
+            _vary(jax, jnp.zeros((local_h, W), jnp.float32), ("dp", "sp"))
             for _ in range(nf))
         deltas, _ = jax.lax.scan(body, zeros, tuple(map(rb, (
             ax, bx, ay, by, valid, values))))

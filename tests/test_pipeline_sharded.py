@@ -1,0 +1,184 @@
+"""Multi-chip Pipeline lifecycle tests on the 8-device virtual CPU mesh.
+
+VERDICT round-1 item #2: the full user-facing Pipeline lifecycle
+(create → ingest → resume → finalize → GeoTIFF) must run sharded over a
+('dp', 'sp') mesh and match the CPU oracle — all three glyphs and the
+sum/max/argmax reduction families. Mirrors the reference lifecycle of
+src/engine/pipeline.cpp:31-1403 with sharded state.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import pcr_tpu as pcr
+from pcr_tpu.engine.pipeline import (
+    ExecutionMode, Pipeline, PipelineConfig, ReductionSpec,
+)
+from pcr_tpu.parallel.engine import ShardedTpuEngine
+from conftest import make_grid_config, make_cloud
+
+RT = pcr.ReductionType
+GT = pcr.GlyphType
+
+
+def run_pipeline(cfg, clouds):
+    p = Pipeline.create(cfg)
+    for c in clouds:
+        p.ingest(c)
+    p.finalize()
+    return p.result()
+
+
+def mesh_config(gc, reductions, sp=2, **kw):
+    return PipelineConfig(
+        grid=gc, reductions=reductions, exec_mode=ExecutionMode.GPU,
+        mesh_devices=8, mesh_sp=sp, **kw)
+
+
+def cpu_config(gc, reductions, **kw):
+    return PipelineConfig(grid=gc, reductions=reductions,
+                          exec_mode=ExecutionMode.CPU, **kw)
+
+
+def assert_bands_match(got, want, nbands, atol=1e-5):
+    for b in range(nbands):
+        np.testing.assert_allclose(
+            got.band_array(b), want.band_array(b), atol=atol,
+            equal_nan=True, err_msg=f"band {b}")
+
+
+def point_specs():
+    return [
+        ReductionSpec(value_channel="v", type=RT.Average),
+        ReductionSpec(value_channel="v", type=RT.Max),
+        ReductionSpec(value_channel="v", type=RT.MostRecent,
+                      timestamp_channel="t"),
+    ]
+
+
+def test_sharded_pipeline_uses_sharded_engine():
+    gc = make_grid_config()
+    p = Pipeline.create(mesh_config(gc, point_specs()))
+    assert isinstance(p._engine, ShardedTpuEngine)
+    assert p._engine.mesh.shape == {"dp": 4, "sp": 2}
+
+
+def test_point_glyph_all_families_match_cpu():
+    gc = make_grid_config()
+    clouds = [make_cloud(5000, seed=s, channels=("v", "t")) for s in (0, 1)]
+    want = run_pipeline(cpu_config(gc, point_specs()), clouds)
+    got = run_pipeline(mesh_config(gc, point_specs()), clouds)
+    assert_bands_match(got, want, 3)
+
+
+def test_gaussian_glyph_matches_cpu():
+    gc = make_grid_config()
+    spec = pcr.gaussian_splat_spec("v", default_sigma=1.5,
+                                   max_radius_cells=6.0)
+    clouds = [make_cloud(3000, seed=2)]
+    want = run_pipeline(cpu_config(gc, [spec]), clouds)
+    got = run_pipeline(mesh_config(gc, [spec]), clouds)
+    assert_bands_match(got, want, 1, atol=2e-5)
+
+
+def test_gaussian_rotated_matches_cpu():
+    gc = make_grid_config()
+    spec = pcr.gaussian_splat_spec("v", default_sigma_x=2.0,
+                                   default_sigma_y=0.8,
+                                   default_rotation=0.6,
+                                   max_radius_cells=7.0)
+    clouds = [make_cloud(1500, seed=3)]
+    want = run_pipeline(cpu_config(gc, [spec]), clouds)
+    got = run_pipeline(mesh_config(gc, [spec]), clouds)
+    assert_bands_match(got, want, 1, atol=2e-5)
+
+
+def test_line_glyph_matches_cpu():
+    gc = make_grid_config()
+    spec = pcr.line_splat_spec("v", direction_channel="d",
+                               default_half_length=4.0,
+                               max_radius_cells=8.0)
+    spec.type = RT.Sum
+    clouds = [make_cloud(2000, seed=4, channels=("v", "d"))]
+    want = run_pipeline(cpu_config(gc, [spec]), clouds)
+    got = run_pipeline(mesh_config(gc, [spec]), clouds)
+    assert_bands_match(got, want, 1)
+
+
+def test_multi_tile_home_clip_matches_cpu():
+    """Glyph footprints clip to the owner's home tile on the mesh too."""
+    gc = make_grid_config(tile=32)
+    assert gc.total_tiles() > 1
+    gspec = pcr.gaussian_splat_spec("v", default_sigma=2.0,
+                                    max_radius_cells=8.0)
+    lspec = pcr.line_splat_spec("v", default_direction=0.7,
+                                default_half_length=5.0)
+    clouds = [make_cloud(2500, seed=5)]
+    want = run_pipeline(cpu_config(gc, [gspec, lspec]), clouds)
+    got = run_pipeline(mesh_config(gc, [gspec, lspec]), clouds)
+    assert_bands_match(got, want, 2, atol=2e-5)
+
+
+def test_odd_grid_height_pads_rows():
+    """H not divisible by sp: the engine row-pads and slices on fetch."""
+    gc = make_grid_config(w=64.0, h=37.0)
+    specs = [ReductionSpec(value_channel="v", type=RT.Sum)]
+    clouds = [make_cloud(2000, seed=6, w=64.0, h=37.0)]
+    want = run_pipeline(cpu_config(gc, specs), clouds)
+    got = run_pipeline(mesh_config(gc, specs, sp=4), clouds)
+    assert_bands_match(got, want, 1)
+
+
+def test_staged_ingest_matches_cpu():
+    """Device-resident (stage → ingest) flow over the mesh."""
+    gc = make_grid_config()
+    specs = [ReductionSpec(value_channel="v", type=RT.Average)]
+    cloud = make_cloud(4000, seed=7)
+    want = run_pipeline(cpu_config(gc, specs), [cloud])
+    p = Pipeline.create(mesh_config(gc, specs))
+    staged = p.stage(cloud)
+    p.ingest(staged)
+    p.finalize()
+    assert_bands_match(p.result(), want, 1)
+
+
+def test_resume_and_geotiff_roundtrip(tmp_path):
+    """Full lifecycle: ingest → checkpoint → new sharded pipeline resumes →
+    finalize → GeoTIFF equals the single-shot CPU run."""
+    gc = make_grid_config()
+    specs = [ReductionSpec(value_channel="v", type=RT.Average),
+             ReductionSpec(value_channel="v", type=RT.Max)]
+    c1 = make_cloud(3000, seed=8)
+    c2 = make_cloud(3000, seed=9)
+    want = run_pipeline(cpu_config(gc, specs), [c1, c2])
+
+    state_dir = str(tmp_path / "state")
+    out_tif = str(tmp_path / "out.tif")
+    p1 = Pipeline.create(mesh_config(gc, specs, state_dir=state_dir))
+    p1.ingest(c1)
+    p1.finalize()           # flushes PCRT tile state
+
+    p2 = Pipeline.create(mesh_config(gc, specs, state_dir=state_dir,
+                                     resume=True, output_path=out_tif))
+    p2.ingest(c2)
+    p2.finalize()
+    assert_bands_match(p2.result(), want, 2)
+
+    assert os.path.exists(out_tif)
+    from pcr_tpu.io.geotiff import read_geotiff_band, read_geotiff_info
+    info = read_geotiff_info(out_tif)
+    band0 = read_geotiff_band(out_tif, 0)
+    np.testing.assert_allclose(band0, want.band_array(0), atol=1e-5,
+                               equal_nan=True)
+
+
+def test_progress_and_stats_on_mesh():
+    gc = make_grid_config()
+    specs = [ReductionSpec(value_channel="v", type=RT.Sum)]
+    seen = []
+    p = Pipeline.create(mesh_config(gc, specs))
+    p.set_progress_callback(lambda info: (seen.append(info), True)[1])
+    p.ingest(make_cloud(1000, seed=10))
+    assert seen and seen[0].points_processed == 1000

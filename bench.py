@@ -113,6 +113,10 @@ def main():
             # ~0.3s floor on this remote tunnel: result D2H + TIFF write
             # on a 1-core host + dispatch latency)
             def sync():
+                # block_until_ready is unreliable on the remote backend
+                # (returns before compute completes); a 1-element state
+                # fetch forces an actual device sync
+                pipe._engine.flush_pending()
                 st = pipe._engine._states[0][0]
                 head = st[:1, :1] if st.ndim == 2 else st[:1]
                 return float(np.asarray(head).ravel()[0])

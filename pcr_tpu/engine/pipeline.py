@@ -142,6 +142,8 @@ class StagedCloud:
     n_valid: int
     col: np.ndarray          # valid points' assigned cells (for tile stats)
     row: np.ndarray
+    tiles: frozenset = frozenset()   # touched (trow, tcol), precomputed at
+                                     # stage() time so ingest stays O(1) host
 
 
 def _ch(cloud, name, sel):
@@ -418,9 +420,11 @@ class Pipeline:
             per_spec.append(self._prepare_jax(
                 i, spec, info, gt, cloud, x, y, col, row, valid,
                 values, weights, timestamps))
+        vc, vr = col[valid], row[valid]
         return StagedCloud(per_spec=per_spec,
                            n_valid=int(np.count_nonzero(valid)),
-                           col=col[valid], row=row[valid])
+                           col=vc, row=vr,
+                           tiles=frozenset(self._tiles_of(vc, vr)))
 
     def ingest(self, cloud) -> None:
         """Process one point-cloud collection (PointCloud or StagedCloud).
@@ -440,7 +444,7 @@ class Pipeline:
                     self._collect[i].append((staged[1], staged[2]))
                 else:
                     self._engine.commit(i, staged)
-            self._track_tiles(cloud.col, cloud.row)
+            self._touched_tiles.update(cloud.tiles)
             self._points += cloud.n_valid
             self._collections += 1
             self._emit_progress()
@@ -703,16 +707,17 @@ class Pipeline:
 
     # -- bookkeeping -------------------------------------------------------------
 
-    def _track_tiles(self, col, row):
+    def _tiles_of(self, col, row):
         cfg = self.config.grid
         if len(col) == 0:
-            return
+            return []
         t = np.unique((row.astype(np.int64) // cfg.tile_height)
                       * cfg.tiles_x
                       + (col.astype(np.int64) // cfg.tile_width))
-        for ti in t:
-            self._touched_tiles.add(
-                (int(ti) // cfg.tiles_x, int(ti) % cfg.tiles_x))
+        return [(int(ti) // cfg.tiles_x, int(ti) % cfg.tiles_x) for ti in t]
+
+    def _track_tiles(self, col, row):
+        self._touched_tiles.update(self._tiles_of(col, row))
 
     def _emit_progress(self):
         if self._progress_cb is None:
@@ -728,6 +733,12 @@ class Pipeline:
     def finalize(self) -> None:
         """Flush tile state, assemble the result Grid, write GeoTIFF output
         (reference: pipeline.cpp:1154-1363)."""
+        if (self._backend == "jax" and not self.config.state_dir
+                and not self._tiled
+                and hasattr(self._engine, "finalize_strips")):
+            # Streamed finalize: pending updates + finalize + strip split
+            # ride one dispatch; strip D2H overlaps tile encoding.
+            return self._finalize_streamed()
         if self._engine is not None:
             self._engine.block_until_ready()
         if self.config.state_dir or self._tiled:
@@ -805,6 +816,107 @@ class Pipeline:
             st = write_geotiff(self.config.output_path, grid, cfg, opts)
             if not st.ok():
                 raise PcrError(st)
+
+    def _band_names(self):
+        return [(spec.output_band_name
+                 or f"{spec.value_channel}_{int(spec.type)}")
+                for spec, _ in self._plans]
+
+    def _mask_strip(self, band, host, r0, r1):
+        """Copy the touched-tile regions of a fetched row strip into the
+        NaN-initialized output band (per-tile finalize semantics,
+        pipeline.cpp:1204-1283)."""
+        cfg = self.config.grid
+        t0 = r0 // cfg.tile_height
+        t1 = (r1 - 1) // cfg.tile_height
+        for trow in range(t0, t1 + 1):
+            for tcol in range(cfg.tiles_x):
+                if (trow, tcol) not in self._touched_tiles:
+                    continue
+                cs, rs, cc, rc = cfg.tile_cell_range(
+                    TileIndex(row=trow, col=tcol))
+                a, b = max(rs, r0), min(rs + rc, r1)
+                if a < b:
+                    band[a:b, cs:cs + cc] = host[a - r0:b - r0, cs:cs + cc]
+
+    def _finalize_streamed(self) -> None:
+        """Accelerator finalize with transfer/encode overlap: one fused
+        dispatch per reduction (pending updates + finalize + strip split),
+        then the main thread fetches strip k while a writer thread LZW-
+        encodes strip k-1 into the GeoTIFF."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.config.grid
+        eng = self._engine
+        names = self._band_names()
+        grid = Grid.create(cfg.width, cfg.height,
+                           [BandDesc(name=n, dtype=DataType.Float32,
+                                     is_state=False) for n in names],
+                           MemoryLocation.Host)
+        writer = None
+        opts = None
+        if self.config.output_path:
+            from .. import native
+            from ..io.geotiff import GeoTiffOptions, StreamingGeoTiffWriter
+            if native.available():
+                opts = GeoTiffOptions(cloud_optimized=self.config.write_cog)
+            else:
+                opts = GeoTiffOptions(cloud_optimized=self.config.write_cog,
+                                      compress="DEFLATE", compress_level=1)
+            writer = StreamingGeoTiffWriter(self.config.output_path, cfg,
+                                            names, opts)
+        th = opts.tile_height if opts else 256
+
+        # Dispatch every reduction's fused update+finalize program first;
+        # the device queues them while the host streams results out.
+        strips_per_spec = {}
+        for i, (spec, info) in enumerate(self._plans):
+            if info.scatter_kind != "collect":
+                strips_per_spec[i] = eng.finalize_strips(i, th)
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        futures = []
+        bands = []
+        try:
+            for i, (spec, info) in enumerate(self._plans):
+                band = np.full((cfg.height, cfg.width), np.nan,
+                               dtype=np.float32)
+                if info.scatter_kind == "collect":
+                    from ..ops.reduction import compute_percentile_band
+                    pairs = self._collect.get(i, [])
+                    cells = (np.concatenate([p[0] for p in pairs])
+                             if pairs else np.zeros(0, np.int64))
+                    vals = (np.concatenate([p[1] for p in pairs])
+                            if pairs else np.zeros(0, np.float32))
+                    q = (0.5 if ReductionType(spec.type)
+                         == ReductionType.Median else float(spec.percentile))
+                    band = compute_percentile_band(
+                        cells, vals, (cfg.height, cfg.width), q)
+                    if writer is not None:
+                        futures.append(ex.submit(writer.write_rows, band))
+                        futures.append(ex.submit(writer.end_band))
+                else:
+                    for (r0, r1, dev) in strips_per_spec[i]:
+                        host = np.asarray(dev)
+                        self._mask_strip(band, host, r0, r1)
+                        if writer is not None:
+                            futures.append(ex.submit(writer.write_rows,
+                                                     band[r0:r1]))
+                    if writer is not None:
+                        futures.append(ex.submit(writer.end_band))
+                grid.set_band_array(i, band)
+                bands.append(band)
+            for f in futures:
+                f.result()
+            if writer is not None:
+                st = writer.close(
+                    overview_bands=bands if self.config.write_cog else None)
+                if not st.ok():
+                    raise PcrError(st)
+        finally:
+            ex.shutdown(wait=True)
+        self._result = grid
+        self._finalized = True
 
     # -- convenience ----------------------------------------------------------------
 

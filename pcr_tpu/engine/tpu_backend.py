@@ -561,6 +561,13 @@ class TpuEngine:
         self._states = []
         self._grid_shaped = []
         self._jits = {}
+        # Lazy commit queue: staged chunks accumulate here and materialize
+        # as ONE fused jit call at the next state access (or finalize) —
+        # on a remote-attached device every dispatch costs a full RTT and
+        # the runtime executes synchronously, so deferring lets K ingests
+        # and the finalize ride a single dispatch.
+        self._pending = []
+        self._pending_cap = int(os.environ.get("PCR_PENDING_CAP", 12))
         from .glyph import GlyphType
         # Point-sum specs default to the fused Pallas splat: with the
         # 3-limb bf16 contraction (exact for one-hot factors) it measures
@@ -571,6 +578,7 @@ class TpuEngine:
             or (self.pallas == "compiled"
                 and os.environ.get("PCR_POINT_PALLAS", "1") == "1"))
         for spec, info in plans:
+            self._pending.append([])
             glyph_t = GlyphType(spec.glyph.type)
             # Gaussian splats (and opted-in sum-family Point specs) run the
             # sorted splat over (H_pad, W_state) states; everything else
@@ -596,6 +604,7 @@ class TpuEngine:
     def load_state(self, spec_idx: int, fields_hw) -> None:
         """Replace device state from host (H, W) field arrays (resume)."""
         import jax
+        self._pending[spec_idx].clear()   # replaced wholesale
         _, info = self.plans[spec_idx]
         grid_shaped = self._grid_shaped[spec_idx]
         st = []
@@ -613,6 +622,7 @@ class TpuEngine:
 
     def fetch_state(self, spec_idx: int):
         """Download state to host as a list of (H, W) float32 arrays."""
+        self.flush_pending(spec_idx)
         if self._grid_shaped[spec_idx]:
             return [np.asarray(f)[: self.H, : self.W]
                     for f in self._states[spec_idx]]
@@ -623,6 +633,7 @@ class TpuEngine:
         """Finalize on device, fetch only the single output band (halves the
         device→host traffic for 2-field states)."""
         import jax
+        self.flush_pending(spec_idx)
         _, info = self.plans[spec_idx]
         key = ("finalize", spec_idx)
         fn = self._jits.get(key)
@@ -1019,40 +1030,95 @@ class TpuEngine:
     # -- commit ----------------------------------------------------------------
 
     def commit(self, spec_idx: int, staged) -> None:
-        """Run the jitted update for the staged chunks (device compute only).
+        """Dispatch the staged chunks' updates (device compute only).
 
-        Multi-chunk ingests fuse into ONE jit call applying every chunk's
-        update sequentially in a single traced program — on remote-attached
-        devices each dispatch costs a full RTT, so a 5M-point ingest
-        (3 ladder chunks) pays 1 round-trip instead of 3. Keys are the
-        tuple of chunk keys, so the compile set stays bounded by the
-        bucket ladder."""
-        import jax
+        Dispatch is async (measured ~0.3 ms), so committing eagerly starts
+        device compute immediately and it overlaps the host's bookkeeping
+        and the next chunk's routing. PCR_LAZY_COMMIT=1 queues instead and
+        fuses everything into the next finalize/flush dispatch (useful when
+        dispatch itself is expensive)."""
         staged = list(staged)
         if not staged:
             return
-        if len(staged) == 1:
-            chunk = staged[0]
-            fn = self._jits.get(chunk.key)
+        pend = self._pending[spec_idx]
+        pend.extend(staged)
+        if (os.environ.get("PCR_LAZY_COMMIT", "0") != "1"
+                or len(pend) >= self._pending_cap):
+            self.flush_pending(spec_idx)
+
+    def flush_pending(self, spec_idx: int | None = None) -> None:
+        """Materialize queued chunks: one fused jit call per spec, applying
+        every queued chunk's update sequentially in a single program. Keys
+        are the tuple of chunk keys, so the compile set stays bounded by
+        the bucket ladder."""
+        import jax
+        specs = (range(len(self.plans)) if spec_idx is None else [spec_idx])
+        for i in specs:
+            staged = self._pending[i]
+            if not staged:
+                continue
+            self._pending[i] = []
+            if len(staged) == 1:
+                chunk = staged[0]
+                fn = self._jits.get(chunk.key)
+                if fn is None:
+                    fn = jax.jit(chunk.builder(), donate_argnums=(0,))
+                    self._jits[chunk.key] = fn
+                self._states[i] = fn(self._states[i], chunk.buf)
+                continue
+            key = ("multi", tuple(c.key for c in staged))
+            fn = self._jits.get(key)
             if fn is None:
-                fn = jax.jit(chunk.builder(), donate_argnums=(0,))
-                self._jits[chunk.key] = fn
-            self._states[spec_idx] = fn(self._states[spec_idx], chunk.buf)
-            return
-        key = ("multi", tuple(c.key for c in staged))
+                fns = [c.builder() for c in staged]
+
+                def combined(states, *bufs, _fns=tuple(fns)):
+                    for f, b in zip(_fns, bufs):
+                        states = f(states, b)
+                    return states
+
+                fn = jax.jit(combined, donate_argnums=(0,))
+                self._jits[key] = fn
+            self._states[i] = fn(self._states[i],
+                                 *(c.buf for c in staged))
+
+    def finalize_strips(self, spec_idx: int, strip_rows: int = 256):
+        """Apply pending updates, finalize, slice the output band into
+        row strips, and start async D2H for every strip — ALL in one
+        dispatch. Returns [(row0, row1, device_strip), ...]; the caller
+        fetches strips in order (np.asarray) while later strips are still
+        in flight, overlapping transfer with host-side encoding."""
+        import jax
+        _, info = self.plans[spec_idx]
+        staged = self._pending[spec_idx]
+        self._pending[spec_idx] = []
+        H, W = self.H, self.W
+        ranges = [(a, min(a + strip_rows, H))
+                  for a in range(0, H, strip_rows)]
+        key = ("finstrips", spec_idx, tuple(c.key for c in staged),
+               strip_rows)
         fn = self._jits.get(key)
         if fn is None:
-            fns = [c.builder() for c in staged]
+            fns = tuple(c.builder() for c in staged)
+            grid_shaped = self._grid_shaped[spec_idx]
+            C = self.C
 
-            def combined(states, *bufs, _fns=tuple(fns)):
-                for f, b in zip(_fns, bufs):
+            def combined(states, *bufs):
+                for f, b in zip(fns, bufs):
                     states = f(states, b)
-                return states
+                band = info.finalize_arrays(list(states))
+                band = (band[:H, :W] if grid_shaped
+                        else band[:C].reshape(H, W))
+                return states, tuple(band[a:b] for a, b in ranges)
 
             fn = jax.jit(combined, donate_argnums=(0,))
             self._jits[key] = fn
-        self._states[spec_idx] = fn(self._states[spec_idx],
-                                    *(c.buf for c in staged))
+        states, strips = fn(self._states[spec_idx],
+                            *(c.buf for c in staged))
+        self._states[spec_idx] = states
+        for s in strips:
+            if hasattr(s, "copy_to_host_async"):
+                s.copy_to_host_async()
+        return [(a, b, s) for (a, b), s in zip(ranges, strips)]
 
     # -- one-shot ingest ---------------------------------------------------------
 
@@ -1071,5 +1137,6 @@ class TpuEngine:
 
     def block_until_ready(self):
         import jax
+        self.flush_pending()
         for st in self._states:
             jax.block_until_ready(st)

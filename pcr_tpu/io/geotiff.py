@@ -38,7 +38,8 @@ from ..core.types import (
 )
 
 __all__ = ["GeoTiffOptions", "write_geotiff", "read_geotiff_info",
-           "read_geotiff_band", "TiledGeoTiffWriter"]
+           "read_geotiff_band", "TiledGeoTiffWriter",
+           "StreamingGeoTiffWriter"]
 
 
 @dataclass
@@ -421,6 +422,13 @@ def _write_ifd_for_image(builder, bands: list[np.ndarray], band_names,
             offsets.append(builder.write_raw(data))
             counts.append(len(data))
 
+    _write_image_ifd(builder, w, h, nb, comp_id, tiled, offsets, counts,
+                     band_names, config, options, reduced)
+
+
+def _write_image_ifd(builder, w, h, nb, comp_id, tiled, offsets, counts,
+                     band_names, config, options, reduced=False):
+    """Write one image IFD given already-written tile/strip data."""
     off_type = TYPE_LONG8 if builder.big else TYPE_LONG
     entries = [
         (T_IMAGEWIDTH, TYPE_LONG, [w]),
@@ -435,8 +443,8 @@ def _write_ifd_for_image(builder, bands: list[np.ndarray], band_names,
     ]
     if tiled:
         entries += [
-            (T_TILEWIDTH, TYPE_SHORT, [tw]),
-            (T_TILELENGTH, TYPE_SHORT, [th]),
+            (T_TILEWIDTH, TYPE_SHORT, [options.tile_width]),
+            (T_TILELENGTH, TYPE_SHORT, [options.tile_height]),
             (T_TILEOFFSETS, off_type, offsets),
             (T_TILEBYTECOUNTS, off_type, counts),
         ]
@@ -569,6 +577,124 @@ class TiledGeoTiffWriter:
         st = write_geotiff(self._path, g, self._config, self._options)
         self._closed = True
         return st
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer: encode row strips as they arrive
+# ---------------------------------------------------------------------------
+
+class StreamingGeoTiffWriter:
+    """Write a tiled planar GeoTIFF incrementally from row strips.
+
+    Purpose: overlap the device→host transfer of finalized bands with the
+    host-side tile compression — the pipeline fetches strip k while this
+    writer encodes strip k-1 (the TIFF layout puts tile data first and the
+    IFD last, so nothing needs to be known up front).
+
+    Contract: bands are delivered in order (0..nb-1); within a band, rows
+    arrive in order via `write_rows`. The internal buffer slices rows into
+    `options.tile_height`-row runs of tiles. Call `end_band()` after each
+    band's final rows, then `close()` to write the IFD (and COG overviews
+    if requested — those need the full bands, pass them to close()).
+    """
+
+    def __init__(self, path: str, config: GridConfig, band_names,
+                 options: GeoTiffOptions | None = None):
+        self._options = options or GeoTiffOptions()
+        if not (self._options.tile_width > 0 and self._options.tile_height > 0):
+            raise PcrError(Status.error(
+                StatusCode.InvalidArgument,
+                "StreamingGeoTiffWriter requires a tiled layout"))
+        self._config = config
+        self._names = list(band_names)
+        self._w, self._h = config.width, config.height
+        nbytes = len(self._names) * self._w * self._h * 4
+        big = self._options.bigtiff and nbytes > (3 << 30)
+        self._f = open(path, "wb")
+        self._builder = _TiffBuilder(self._f, big)
+        self._offsets: list[int] = []
+        self._counts: list[int] = []
+        self._band = 0
+        self._row = 0
+        self._buf: list[np.ndarray] = []
+        self._buf_rows = 0
+        self._closed = False
+
+    def write_rows(self, rows: np.ndarray) -> None:
+        """Append rows to the current band (float32, shape (k, width))."""
+        rows = np.asarray(rows, dtype=np.float32)
+        self._buf.append(rows)
+        self._buf_rows += rows.shape[0]
+        self._row += rows.shape[0]
+        th = self._options.tile_height
+        while self._buf_rows >= th:
+            strip = np.concatenate(self._buf, axis=0) if len(self._buf) > 1 \
+                else self._buf[0]
+            self._encode_strip(strip[:th])
+            rest = strip[th:]
+            self._buf = [rest] if rest.shape[0] else []
+            self._buf_rows = rest.shape[0]
+
+    def end_band(self) -> None:
+        if self._row != self._h:
+            raise PcrError(Status.error(
+                StatusCode.InvalidArgument,
+                f"band {self._band}: got {self._row} rows, "
+                f"expected {self._h}"))
+        if self._buf_rows:
+            strip = (np.concatenate(self._buf, axis=0)
+                     if len(self._buf) > 1 else self._buf[0])
+            self._encode_strip(strip)
+            self._buf, self._buf_rows = [], 0
+        self._band += 1
+        self._row = 0
+
+    def _encode_strip(self, strip: np.ndarray) -> None:
+        tw = self._options.tile_width
+        th = self._options.tile_height
+        k, w = strip.shape
+        tiles_x = (self._w + tw - 1) // tw
+        for tx in range(tiles_x):
+            tile = np.zeros((th, tw), dtype="<f4")
+            xs = tx * tw
+            xe = min(xs + tw, w)
+            tile[:k, : xe - xs] = strip[:, xs:xe]
+            data, _ = _compress(tile.tobytes(), self._options.compress,
+                                self._options.compress_level)
+            self._offsets.append(self._builder.write_raw(data))
+            self._counts.append(len(data))
+
+    def close(self, overview_bands=None) -> Status:
+        """Write the IFD(s). `overview_bands` (full-resolution (H, W) arrays
+        in band order) are required only for cloud_optimized output."""
+        if self._closed:
+            return Status.success()
+        try:
+            if self._band != len(self._names):
+                return Status.error(
+                    StatusCode.InvalidArgument,
+                    f"wrote {self._band} bands, expected {len(self._names)}")
+            _, comp_id = _compress(b"", self._options.compress,
+                                   self._options.compress_level)
+            _write_image_ifd(self._builder, self._w, self._h,
+                             len(self._names), comp_id, True,
+                             self._offsets, self._counts, self._names,
+                             self._config, self._options)
+            if self._options.cloud_optimized and overview_bands is not None:
+                level = [np.asarray(b, np.float32) for b in overview_bands]
+                while min(level[0].shape) > 256:
+                    level = [_downsample2x(b,
+                                           self._options.overview_resampling)
+                             for b in level]
+                    _write_ifd_for_image(self._builder, level, [], None,
+                                         self._options, reduced=True)
+            self._f.close()
+        except OSError as e:
+            return Status.error(StatusCode.IoError,
+                                f"StreamingGeoTiffWriter: {e}")
+        finally:
+            self._closed = True
+        return Status.success()
 
 
 # ---------------------------------------------------------------------------

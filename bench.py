@@ -92,7 +92,10 @@ def main():
         cfg = pcr.PipelineConfig()
         cfg.grid = gc
         cfg.reductions = [spec]
-        cfg.exec_mode = pcr.ExecutionMode.GPU
+        # Host-sourced ingest pipelines routing/packing/upload across
+        # chunks (Hybrid); device-staged runs pure GPU mode.
+        cfg.exec_mode = (pcr.ExecutionMode.Hybrid if host_sourced
+                         else pcr.ExecutionMode.GPU)
         cfg.output_path = os.path.join(tmp, f"{name}.tif")
         pipe = pcr.Pipeline.create(cfg)
         staged = None if host_sourced else pipe.stage(cloud)

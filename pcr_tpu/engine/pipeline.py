@@ -642,16 +642,24 @@ class Pipeline:
     # -- JAX path ---------------------------------------------------------------
 
     def _prepare_jax(self, i, spec, info, gt, cloud, x, y, col, row, valid,
-                     values, weights, timestamps):
+                     values, weights, timestamps, wire_cheap=False):
         """Host-route one cloud for one spec and stage packed chunks on the
-        device. Returns the staged chunk list (commit runs the compute)."""
+        device. Returns the staged chunk list (commit runs the compute).
+
+        wire_cheap marks host-sourced ingest (the cloud crosses the
+        host→device link inside the timed path), where a minimal wire
+        format beats the accumulate-optimal bucketed layout."""
         cfg = self.config.grid
         eng = self._engine
         if gt == GlyphType.Point:
             cells = (row.astype(np.int32) * np.int32(cfg.width)
                      + col.astype(np.int32))
-            return eng.prepare_point(i, cells, valid, values, weights,
-                                     timestamps)
+            try:
+                return eng.prepare_point(i, cells, valid, values, weights,
+                                         timestamps, wire_cheap=wire_cheap)
+            except TypeError:   # engines without the wire_cheap knob
+                return eng.prepare_point(i, cells, valid, values, weights,
+                                         timestamps)
         if gt == GlyphType.Gaussian:
             gp = routing.gaussian_params(
                 spec.glyph, cfg, x, y,
@@ -677,14 +685,15 @@ class Pipeline:
         if not hybrid or n <= CHUNK_BUCKETS[-1]:
             staged = self._prepare_jax(i, spec, info, gt, cloud, x, y, col,
                                        row, valid, values, weights,
-                                       timestamps)
+                                       timestamps, wire_cheap=True)
             self._engine.commit(i, staged)
             return
         # Hybrid mode: pipeline host routing against device accumulation —
-        # a worker thread prepares (routes + packs + uploads) slice k+1
-        # while the device commits slice k. This is the TPU-native form of
-        # the reference's producer/consumer Hybrid mode
-        # (pipeline.cpp:785-1152); numpy releases the GIL so prep overlaps.
+        # worker threads prepare (route + pack + upload) later slices while
+        # the device commits earlier ones. Two workers let slice k+2's CPU
+        # routing proceed while slice k+1's upload blocks on the wire (the
+        # upload releases the GIL). This is the TPU-native form of the
+        # reference's producer/consumer Hybrid mode (pipeline.cpp:785-1152).
         from concurrent.futures import ThreadPoolExecutor
 
         def prep(rng_):
@@ -694,16 +703,14 @@ class Pipeline:
                 i, spec, info, gt, cloud, x[sl], y[sl], col[sl], row[sl],
                 valid[sl], values[sl],
                 weights[sl] if weights is not None else None,
-                timestamps[sl] if timestamps is not None else None)
+                timestamps[sl] if timestamps is not None else None,
+                wire_cheap=True)
 
         ranges = chunk_ranges(n)
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(prep, ranges[0])
-            for nxt in list(ranges[1:]) + [None]:
-                staged = fut.result()
-                if nxt is not None:
-                    fut = ex.submit(prep, nxt)
-                self._engine.commit(i, staged)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(prep, r) for r in ranges]
+            for fut in futs:
+                self._engine.commit(i, fut.result())
 
     # -- bookkeeping -------------------------------------------------------------
 

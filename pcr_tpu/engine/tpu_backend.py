@@ -64,8 +64,11 @@ __all__ = ["TpuEngine", "bucket_size", "chunk_ranges", "CHUNK_BUCKETS",
 # compiles a bounded number of program shapes (reference analogue: the
 # billion-point scripts chunk ingest; here chunking also pins static shapes).
 # The ladder tops out at 2M points: compile time grows with program size and
-# larger chunks don't help once transfers are amortised.
-CHUNK_BUCKETS = (8_192, 65_536, 524_288, 2_097_152)
+# larger chunks don't help once transfers are amortised. Rungs are ~4x apart
+# so a padded tail chunk wastes at most ~3x its size on the wire — the
+# 262144/1048576 rungs matter for host-sourced ingest, where padding is
+# paid in real host-link bytes.
+CHUNK_BUCKETS = (8_192, 65_536, 262_144, 1_048_576, 2_097_152)
 
 _LINE_SENTINEL = np.int32(-(1 << 20))
 
@@ -216,6 +219,42 @@ def _argmax_ts_update(states, cells, values, ts, C):
     return (new_v, new_t)
 
 
+def _build_point_update_grid(info: ReductionInfo, H_pad: int, W_state: int,
+                             W: int, C: int, bucket: int, with_f1: bool):
+    """Minimal-wire Point update for grid-shaped (Pallas) states: packed
+    layout [cells | f0 | (f1)], cells unpacked to (row, col) on device.
+
+    Used for host-sourced ingest where the host→device link, not the
+    accumulate, is the bottleneck (2 segs instead of the bucketed path's
+    3+bids, and no host-side layout pass). Invalid/padding entries carry
+    cell == C == H*W, which lands in the sliced-off padding rows (or is
+    dropped when H_pad == H)."""
+    jax, jnp = _jax()
+    rtype = ReductionType(info.type)
+    nf, use_val = _glyph_nf(info)
+
+    def update(states, buf):
+        cells = buf[:bucket]
+        f0 = jax.lax.bitcast_convert_type(buf[bucket:2 * bucket],
+                                          jnp.float32)
+        r = cells // W
+        c = cells % W
+        out0 = states[0].at[r, c].add(f0, mode="drop")
+        if nf == 1:
+            return (out0,)
+        if with_f1:
+            f1 = jax.lax.bitcast_convert_type(buf[2 * bucket:3 * bucket],
+                                              jnp.float32)
+        else:
+            # Average: the count field gets 1 per entry; padding entries
+            # land in the padding row (or drop), so no mask is needed,
+            # matching the implicit one-hot column of the bucketed path.
+            f1 = jnp.ones_like(f0)
+        return (out0, states[1].at[r, c].add(f1, mode="drop"))
+
+    return update
+
+
 def _glyph_nf(info: ReductionInfo):
     rtype = ReductionType(info.type)
     nf = 2 if rtype in (ReductionType.WeightedAverage,
@@ -354,14 +393,17 @@ def _build_sorted_matmul_update(info: ReductionInfo, cfg: GridConfig,
 
 GAUSS_ROW_BLOCK = 128          # TH: rows per block in the sorted splat
 PALLAS_BLOCK = int(os.environ.get("PCR_PALLAS_BLOCK", 2048))  # entries per sub-chunk (VMEM-bounded)
-_SUB_LADDER = (8, 32, 128, 512, 1024, 2048)   # nsub buckets (bounded jits)
+_SUB_LADDER = (8, 32, 128, 512, 1024, 1536, 2048)  # nsub buckets (bounded jits)
 
 
 def _nsub_bucket(k: int) -> int:
     for b in _SUB_LADDER:
         if k <= b:
             return b
-    return ((k + _SUB_LADDER[-1] - 1) // _SUB_LADDER[-1]) * _SUB_LADDER[-1]
+    # Above the ladder, round to multiples of 256: a coarser rung wastes
+    # real wire/pack time (2442 → 4096 was 68% padding on the 5M bench)
+    # while 256 keeps the jit-signature count bounded and ~5% waste.
+    return ((k + 255) // 256) * 256
 
 
 def _build_gaussian_rotated_update(info: ReductionInfo, cfg: GridConfig,
@@ -685,7 +727,7 @@ class TpuEngine:
         n = len(blk0)
         k = (blk1 - blk0 + 1).astype(np.int64)
         if (k == 1).all():
-            idx = np.arange(n, dtype=np.int64)
+            idx = None   # identity: slots index the source arrays directly
             eb = blk0.astype(np.int64)
         else:
             idx = np.repeat(np.arange(n, dtype=np.int64), k)
@@ -704,7 +746,7 @@ class TpuEngine:
         kc = (cb1 - cb0 + 1).astype(np.int64)
         k = kr * kc
         if (k == 1).all():
-            idx = np.arange(n, dtype=np.int64)
+            idx = None   # identity: slots index the source arrays directly
             eb = rb0.astype(np.int64) * ncb + cb0
         else:
             idx = np.repeat(np.arange(n, dtype=np.int64), k)
@@ -727,13 +769,25 @@ class TpuEngine:
             slots, bids, nsub = native.bucket_layout(
                 eb, nblocks, block, visit_all, _nsub_bucket)
             E = nsub * block
-            sel = idx[np.maximum(slots, 0)]
+            if layout == "sub_major":
+                # fused native gather+fill+transpose straight into the
+                # packed buffer (a numpy chain here costs ~4s per 5M pts)
+                nseg = len(seg_arrays)
+                buf = np.empty(nseg * E + nsub, dtype=np.int32)
+                native.pack_sub_major(slots, idx, seg_arrays, nsub, block,
+                                      out=buf[: nseg * E])
+                buf[nseg * E:] = bids
+                return buf, nsub, E
+            sel = (np.maximum(slots, 0) if idx is None
+                   else idx[np.maximum(slots, 0)])
             live = slots >= 0
             return self._pack_layout(sel, live, bids, nsub, E, block,
                                      seg_arrays, layout)
 
         # numpy fallback: per-block extraction for few blocks, stable
         # (radix) argsort otherwise
+        if idx is None:
+            idx = np.arange(len(eb), dtype=np.int64)
         if nblocks <= 16:
             per_block = [idx[eb == b] for b in range(nblocks)]
             idx_s = np.concatenate(per_block) if nblocks > 1 else idx
@@ -841,14 +895,40 @@ class TpuEngine:
 
     def prepare_point(self, spec_idx: int, cells: np.ndarray,
                       valid: np.ndarray, values: np.ndarray,
-                      weights=None, timestamps=None, block: int = 4_096):
+                      weights=None, timestamps=None, block: int = 4_096,
+                      wire_cheap: bool = False):
         """Stage Point-glyph chunks.
 
         Sum-family ops go through the row-block-sorted one-hot matmul (the
         MXU path); Max/Min/MostRecent use XLA scatter with invalid points
-        encoded as cell == C."""
+        encoded as cell == C. wire_cheap=True (host-sourced ingest) skips
+        the host bucketing and ships the minimal [cells | fields] layout
+        into a grid-shaped scatter — on a thin host link the wire, not the
+        accumulate, bounds throughput (PCR_WIRE_CHEAP=0 disables)."""
         _, info = self.plans[spec_idx]
         n = len(cells)
+        wire_cheap = (wire_cheap and info.scatter_kind == "sum"
+                      and self._point_pallas
+                      and os.environ.get("PCR_WIRE_CHEAP", "1") == "1")
+        if wire_cheap:
+            f0, f1 = self._point_fields(info, values, weights, n)
+            with_f1 = f1 is not None
+            cells = np.where(valid, cells, np.int32(self.C)).astype(np.int32)
+            staged = []
+            for start, end in chunk_ranges(n):
+                b = bucket_size(end - start)
+                segs = [(cells[start:end], self.C), (f0[start:end], 0)]
+                if with_f1:
+                    segs.append((f1[start:end], 0))
+                key = ("point_grid", spec_idx, b, with_f1)
+                builder = (lambda info=info, b=b, wf1=with_f1:
+                           _build_point_update_grid(
+                               info, self.H_pad, self.W_state, self.W,
+                               self.C, b, wf1))
+                staged.append(StagedChunk(
+                    key, self._put(self._pack(b, segs)), builder,
+                    end - start))
+            return staged
         # Point glyphs default to XLA scatter (measured ~53 Mpts/s for a
         # 2-field Average on v5e): the Pallas one-hot matmul is limited to
         # HIGHEST precision by Mosaic's dot lowering (6-pass bf16) and lands

@@ -90,6 +90,10 @@ def _load():
     lib.pcr_bucket_layout.argtypes = [i, ctypes.c_int64, ctypes.c_int32,
                                       ctypes.c_int32, ctypes.c_int32,
                                       ctypes.c_int64, i64, i]
+    lib.pcr_pack_sub_major.argtypes = [
+        i64, i64, ctypes.c_int32, ctypes.POINTER(ctypes.POINTER(
+            ctypes.c_int32)), i, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, i]
     lib.pcr_line_runs_count.argtypes = [i, i, i, i, u8, ctypes.c_int64]
     lib.pcr_line_runs_count.restype = ctypes.c_int64
     lib.pcr_line_runs_emit.argtypes = [i, i, i, i, u8] + [i] * 4 + \
@@ -216,6 +220,49 @@ def bucket_layout(eb: np.ndarray, nblocks: int, block: int,
                         _ptr(slots, ctypes.c_int64),
                         _ptr(bids, ctypes.c_int32))
     return slots, bids, nsub
+
+
+def pack_sub_major(slots: np.ndarray, idx, seg_arrays, nsub: int,
+                   block: int, out: np.ndarray | None = None) -> np.ndarray:
+    """Fused gather+fill+sub_major pack (see router.cpp pcr_pack_sub_major).
+
+    slots: int64 (nsub*block,) slot→entry map (-1 = padding); idx: int64
+    entry→source map or None (identity); seg_arrays: list of (array, fill)
+    where float arrays are bit-viewed into the int32 buffer. Returns the
+    packed int32 buffer of nseg*E ints (bids are appended by the caller)."""
+    L = _load()
+    nseg = len(seg_arrays)
+    E = nsub * block
+    if out is None:
+        out = np.empty(nseg * E, np.int32)
+    assert out.flags.c_contiguous and len(out) >= nseg * E
+    holders = []
+    ptrs = (ctypes.POINTER(ctypes.c_int32) * nseg)()
+    fills = np.empty(nseg, np.int32)
+    for g, (arr, fill) in enumerate(seg_arrays):
+        orig = np.asarray(arr)
+        if orig.dtype.kind == "f":
+            a = np.ascontiguousarray(orig, np.float32).view(np.int32)
+            fv = np.float32(fill).view(np.int32)
+        else:
+            a = np.ascontiguousarray(orig, np.int32)
+            fv = np.int32(fill)
+        holders.append(a)
+        ptrs[g] = _ptr(a, ctypes.c_int32)
+        fills[g] = fv
+    slots = np.ascontiguousarray(slots, np.int64)
+    if idx is None:
+        idxp = slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        has_idx = 0
+    else:
+        idx = np.ascontiguousarray(idx, np.int64)
+        idxp = idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        has_idx = 1
+    L.pcr_pack_sub_major(
+        slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), idxp,
+        has_idx, ptrs, _ptr(fills, ctypes.c_int32), nseg, nsub, block,
+        _ptr(out, ctypes.c_int32))
+    return out
 
 
 def line_runs(ix0, iy0, ix1, iy1, valid, clip_cs, clip_rs, clip_ce,

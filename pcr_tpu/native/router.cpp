@@ -398,6 +398,35 @@ void pcr_bucket_layout(const int32_t* eb, int64_t n, int32_t nblocks,
     }
 }
 
+// Fused gather + fill + sub_major layout for the packed splat buffer:
+// out[s*(nseg*block) + g*block + j] = slot<0 ? fill[g] : seg[g][idx?idx[p]:p]
+// Replaces a numpy fancy-index + where + stack + transpose chain that costs
+// seconds per 5M-point chunk on a single-core host.
+void pcr_pack_sub_major(const int64_t* slots, const int64_t* idx,
+                        int32_t has_idx,
+                        const int32_t* const* segs, const int32_t* fills,
+                        int32_t nseg, int64_t nsub, int32_t block,
+                        int32_t* out)
+{
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t s = 0; s < nsub; ++s) {
+        const int64_t* sl = slots + s * (int64_t)block;
+        int32_t* base = out + s * (int64_t)nseg * block;
+        for (int32_t g = 0; g < nseg; ++g) {
+            const int32_t* src = segs[g];
+            const int32_t fill = fills[g];
+            int32_t* dst = base + (int64_t)g * block;
+            for (int32_t j = 0; j < block; ++j) {
+                const int64_t p = sl[j];
+                dst[j] = (p < 0) ? fill
+                                 : src[has_idx ? idx[p] : p];
+            }
+        }
+    }
+}
+
 } // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -174,11 +174,14 @@ def main():
                     for k, v in details.items()},
         "env": {
             "host_cpu_count": os.cpu_count(),
-            "note": ("TPU reached via remote tunnel (~50 MB/s host link, "
-                     "~10-30 ms dispatch RTT); ingest+finalize wall "
-                     "includes result D2H + LZW GeoTIFF write on the "
-                     "1-core host, reference GPU baseline is PCIe-local "
-                     "with a 6-core host"),
+            "note": ("TPU reached via remote tunnel (measured 57.6 MB/s "
+                     "host link, ~10-30 ms dispatch RTT); ingest+finalize "
+                     "wall includes result D2H + LZW GeoTIFF write on the "
+                     "1-core host; reference GPU baseline is PCIe-local "
+                     "with a 6-core host. point_host is wire-bound: 40 MB "
+                     "up + 4 MB down = 0.77 s floor (6.5 Mpts/s ceiling "
+                     "on this link); the Hybrid pipeline runs at ~75% of "
+                     "that ceiling"),
         },
     }
     print(json.dumps(out))

@@ -290,6 +290,18 @@ class Pipeline:
                 from .tpu_backend import TpuEngine
                 devs = jax.devices()
                 idx = min(self.config.cuda_device_id, len(devs) - 1)
+                # Out-of-core: when the state exceeds gpu_memory_budget,
+                # accumulate in host-resident row bands with a band-swapped
+                # device executor (reference: tile_manager.cpp:183-414).
+                budget = self.config.gpu_memory_budget
+                if budget:
+                    from .out_of_core import (
+                        OutOfCoreTpuEngine, pick_band_rows)
+                    band = pick_band_rows(cfg, self._plans, budget)
+                    if band:
+                        self._engine = OutOfCoreTpuEngine(
+                            cfg, self._plans, band, device=devs[idx])
+                        return
                 self._engine = TpuEngine(cfg, self._plans, device=devs[idx])
 
     # -- state persistence ------------------------------------------------------
@@ -682,6 +694,21 @@ class Pipeline:
         n = len(x)
         hybrid = (ExecutionMode(self.config.exec_mode)
                   == ExecutionMode.Hybrid)
+        # User-pinned device chunk size (pipeline.h:67 declares it; the
+        # reference never reads it — honored here): slice the cloud and
+        # commit chunk-by-chunk, hybrid or not.
+        if self.config.chunk_size > 0 and n > self.config.chunk_size:
+            cs = int(self.config.chunk_size)
+            for a in range(0, n, cs):
+                sl = slice(a, min(a + cs, n))
+                staged = self._prepare_jax(
+                    i, spec, info, gt, cloud, x[sl], y[sl], col[sl],
+                    row[sl], valid[sl], values[sl],
+                    weights[sl] if weights is not None else None,
+                    timestamps[sl] if timestamps is not None else None,
+                    wire_cheap=True)
+                self._engine.commit(i, staged)
+            return
         if not hybrid or n <= CHUNK_BUCKETS[-1]:
             staged = self._prepare_jax(i, spec, info, gt, cloud, x, y, col,
                                        row, valid, values, weights,

@@ -20,8 +20,11 @@ Semantics matched to the reference:
     state files (the reference stubs this at 0, tile_manager.cpp:464-468 —
     implemented for real here).
 
-States are numpy (state_floats, rows, cols) float32 blocks in host RAM; the
-TPU engine stages per-tile batches from here when a grid exceeds device HBM.
+States are numpy (state_floats, rows, cols) float32 blocks in host RAM;
+the CPU pipeline accumulates directly into them (pipeline._ingest_cpu_tiled).
+The accelerator's over-HBM path is the band-swapped OutOfCoreTpuEngine
+(engine/out_of_core.py), which keeps full host-resident state and stages
+tile-row bands to the device on acquire/release.
 """
 
 from __future__ import annotations

@@ -36,6 +36,10 @@ BASELINES = {
     "gauss_s1": 47.40,
     "gauss_s4": 21.59,
     "gauss_s16": 2.43,
+    # Anisotropic rotated Gaussian: the reference has no rotated benchmark;
+    # its window-loop kernel runs rotated at the same speed as unrotated,
+    # so its sigma=4 number is the bar (README.md:200).
+    "gauss_rot_s4": 21.59,
     "line_hl1": 50.60,
     "line_hl4": 50.41,
     "line_hl16": 46.61,
@@ -152,6 +156,10 @@ def main():
         "gauss_s4", pcr.gaussian_splat_spec("value", default_sigma=4.0))
     details["gauss_s16"] = run(
         "gauss_s16", pcr.gaussian_splat_spec("value", default_sigma=16.0))
+    details["gauss_rot_s4"] = run(
+        "gauss_rot_s4", pcr.gaussian_splat_spec(
+            "value", default_sigma_x=4.0, default_sigma_y=1.5,
+            default_rotation=0.6))
     details["line_hl1"] = run(
         "line_hl1", pcr.line_splat_spec("value", default_half_length=1.0))
     details["line_hl4"] = run(

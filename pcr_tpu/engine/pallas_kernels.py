@@ -70,7 +70,8 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                               point_mode, with_f1: bool,
                               interpret: bool = False,
                               two_d: bool = False,
-                              wt: int | None = None):
+                              wt: int | None = None,
+                              h_pad: int | None = None):
     """Build f(states, params_2d, bids) -> states (same math as
     tpu_backend._build_sorted_matmul_update, fused in VMEM).
 
@@ -93,10 +94,13 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                         ReductionType.Average) else 1
     # mode: 'gauss' (soft separable factors), 'point' (lean one-hot layout
     # [icx | icy | f0 | (f1)]), 'rect' (interval x interval rectangles,
-    # layout [ax | bx | ay | by | f0 | (f1)] — Line glyph runs)
+    # layout [ax | bx | ay | by | f0 | (f1)] — Line glyph runs), 'rot'
+    # (dense rotated-Gaussian quadratic form, layout [icx | icy | sub_cx |
+    # sub_cy | sx | sy | cos | sin | r | f0] — no rank-1 factorization
+    # exists, so each point evaluates its full (TH, WT) tile on the VPU)
     mode = ({True: "point", False: "gauss"}[point_mode]
             if isinstance(point_mode, bool) else point_mode)
-    nseg = ({"point": 3, "rect": 5, "gauss": 8}[mode]
+    nseg = ({"point": 3, "rect": 5, "gauss": 8, "rot": 10}[mode]
             + (1 if with_f1 else 0))
     multi_tile = cfg.total_tiles() > 1
     tw, th_tile = cfg.tile_width, cfg.tile_height
@@ -108,7 +112,8 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
 
     def kernel(bids_ref, params_ref, *refs):
         st_refs = refs[:nf]
-        out_refs = refs[nf:]
+        out_refs = refs[nf:2 * nf]
+        scratch = refs[2 * nf] if mode == "rot" else None
         i = pl.program_id(0)
         prev = bids_ref[jnp.maximum(i - 1, 0)]
         first = jnp.logical_or(i == 0, bids_ref[i] != prev)
@@ -118,6 +123,84 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         else:
             row0 = bids_ref[i] * TH
             col0 = 0
+
+        if mode == "rot":
+            # Dense rotated splat: per point, evaluate the exact rotated
+            # quadratic form over the whole (TH, WT) state tile and
+            # accumulate (cost ~TH*WT VPU exps per point — the price of a
+            # non-separable footprint; still ~100x the full-grid offset
+            # scan this replaces). Matches glyph_kernels.cu:145-176 incl.
+            # the 1e-6 product cutoff, term for term.
+            @pl.when(first)
+            def _():
+                for f in range(nf):
+                    out_refs[f][:] = st_refs[f][:]
+
+            hs_i = jax.lax.broadcasted_iota(jnp.int32, (TH, WT), 0) + row0
+            ws_i = jax.lax.broadcasted_iota(jnp.int32, (TH, WT), 1) + col0
+            hs_f = hs_i.astype(jnp.float32)
+            ws_f = ws_i.astype(jnp.float32)
+            in_grid = (hs_i < H) & (ws_i < W)
+
+            # Mosaic supports neither scalar bitcasts nor dynamic
+            # lane-indexed loads: stage every parameter as an f32 lane in a
+            # (block, 16) VMEM scratch (int cells < 2^24 are exact in f32),
+            # then per point load one row with a dynamic sublane slice and
+            # extract lanes statically.
+            f32_segs = (2, 3, 4, 5, 6, 7, 9)   # scx scy sx sy cos sin f0
+            for j, k in enumerate(f32_segs):
+                scratch[:, j:j + 1] = pltpu.bitcast(
+                    params_ref[0, k, :].reshape(block, 1), jnp.float32)
+            for j, k in ((7, 0), (8, 1), (9, 8)):   # icx icy r
+                scratch[:, j:j + 1] = params_ref[0, k, :].reshape(
+                    block, 1).astype(jnp.float32)
+
+            # amortize the fori-loop's per-iteration overhead (measured on
+            # v5e: 1.29 -> 4.97 -> 5.23 Mpts/s at 1/32/64; 32 balances
+            # compile time)
+            UNROLL = int(os.environ.get("PCR_ROT_UNROLL", 32))
+
+            def one_point(p, accs):
+                row = scratch[pl.ds(p, 1), :]
+                gf = lambda j: row[0, j]
+                icx_f, icy_f = gf(7), gf(8)
+                rdx = (ws_f - icx_f) - gf(0)
+                rdy = (hs_f - icy_f) - gf(1)
+                cr, sr = gf(4), gf(5)
+                qx = (rdx * cr - rdy * sr) / gf(2)
+                qy = (rdx * sr + rdy * cr) / gf(3)
+                w = jnp.exp(-0.5 * (qx * qx + qy * qy))
+                r_f = gf(9)
+                ok = ((w >= 1e-6) & (jnp.abs(hs_f - icy_f) <= r_f)
+                      & (jnp.abs(ws_f - icx_f) <= r_f) & in_grid)
+                if multi_tile:
+                    rowc = jnp.clip(icy_f, 0.0, float(H - 1))
+                    colc = jnp.clip(icx_f, 0.0, float(W - 1))
+                    rs = jnp.floor(rowc / th_tile) * th_tile
+                    cs = jnp.floor(colc / tw) * tw
+                    ok &= (hs_f >= rs) & (hs_f < jnp.minimum(
+                        rs + th_tile, float(H)))
+                    ok &= (ws_f >= cs) & (ws_f < jnp.minimum(
+                        cs + tw, float(W)))
+                w = jnp.where(ok, w, 0.0)
+                out = [accs[0] + gf(6) * w]
+                if nf == 2:
+                    out.append(accs[1] + w)
+                return tuple(out)
+
+            def body(g, accs):
+                p0 = g * UNROLL
+                for u in range(UNROLL):
+                    accs = one_point(p0 + u, accs)
+                return accs
+
+            assert block % UNROLL == 0
+            accs = jax.lax.fori_loop(
+                0, block // UNROLL, body,
+                tuple(jnp.zeros((TH, WT), jnp.float32) for _ in range(nf)))
+            for f in range(nf):
+                out_refs[f][:] += accs[f]
+            return
 
         # params block: (1, nseg, block); column-vector (block, 1) views
         # (bitcast needs >= 2-D on TPU)
@@ -239,7 +322,7 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 else:
                     out_refs[1][:, sl] += acc_dot(wy, wx, exact_b=True)
 
-    H_pad = round_up(H, TH)
+    H_pad = h_pad if h_pad else round_up(H, TH)
     state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)
     if two_d:
         state_spec = lambda: pl.BlockSpec(
@@ -257,6 +340,8 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
             pl.BlockSpec((1, nseg, block), lambda i, bids: (i, 0, 0)),
         ] + [state_spec() for _ in range(nf)],
         out_specs=[state_spec() for _ in range(nf)],
+        scratch_shapes=([pltpu.VMEM((block, 16), jnp.float32)]
+                        if mode == "rot" else []),
     )
 
     # raise the scoped-VMEM cap (default 16 MB) so larger entry blocks fit;

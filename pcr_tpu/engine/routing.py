@@ -119,7 +119,11 @@ def gaussian_params(spec: GlyphSpec, cfg: GridConfig,
                    np.float32(spec.max_radius_cells)).astype(np.float32)
     r = np.ceil(R).astype(np.int32)
 
-    rotated = bool(np.any(rot != 0.0))
+    # Rotation is a geometric no-op for cell-isotropic footprints (the
+    # rotated quadratic form collapses to (rdx^2 + rdy^2)/sigma^2), so only
+    # batches with anisotropic rotated points need the dense rotated path.
+    # Isotropy is judged in cell units — the rotation acts on cell offsets.
+    rotated = bool(np.any((rot != 0.0) & (np.abs(sx) != np.abs(sy))))
     return GaussianParams(
         icx=icx.astype(np.int32), icy=icy.astype(np.int32),
         sub_cx=sub_cx, sub_cy=sub_cy, sx=sx, sy=sy,

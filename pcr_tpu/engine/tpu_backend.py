@@ -392,6 +392,10 @@ def _build_sorted_matmul_update(info: ReductionInfo, cfg: GridConfig,
 
 
 GAUSS_ROW_BLOCK = 128          # TH: rows per block in the sorted splat
+# Rotated (dense) splat blocks: shorter rows cut the per-point tile area
+# (the kernel evaluates TH*WT cells per point), narrower cols cut halo.
+ROT_ROW_BLOCK = int(os.environ.get("PCR_ROT_ROW_BLOCK", 32))
+ROT_COL_TILE = int(os.environ.get("PCR_ROT_COL_TILE", 128))
 PALLAS_BLOCK = int(os.environ.get("PCR_PALLAS_BLOCK", 2048))  # entries per sub-chunk (VMEM-bounded)
 _SUB_LADDER = (8, 32, 128, 512, 1024, 1536, 2048)  # nsub buckets (bounded jits)
 
@@ -738,7 +742,8 @@ class TpuEngine:
         return self._layout_blocks(idx, eb, nblocks, block, seg_arrays,
                                    layout)
 
-    def _bucket_blocks_2d(self, rb0, rb1, cb0, cb1, ncb, block, seg_arrays):
+    def _bucket_blocks_2d(self, rb0, rb1, cb0, cb1, ncb, block, seg_arrays,
+                          th: int = GAUSS_ROW_BLOCK):
         """2-D (row-block x col-block) halo bucketing for the Pallas
         two_d splat: entry block id = rb * ncb + cb."""
         n = len(rb0)
@@ -755,7 +760,7 @@ class TpuEngine:
             o = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, k)
             kc_e = kc[idx]
             eb = ((rb0[idx] + o // kc_e) * ncb + (cb0[idx] + o % kc_e))
-        nblocks = (self.H_pad // GAUSS_ROW_BLOCK) * ncb
+        nblocks = (self.H_pad // th) * ncb
         return self._layout_blocks(idx, eb, nblocks, block, seg_arrays,
                                    "sub_major")
 
@@ -862,11 +867,13 @@ class TpuEngine:
         interpret = self.pallas == "interpret"
         cfg = self.cfg
 
+        h_pad = self.H_pad
+
         def build():
             from .pallas_kernels import build_sorted_splat_pallas
             upd = build_sorted_splat_pallas(
                 info, cfg, nsub, block, TH, point_mode, with_f1, interpret,
-                two_d=two_d, wt=wt)
+                two_d=two_d, wt=wt, h_pad=h_pad)
 
             def fn(states, buf):
                 params_2d = buf[: nseg * E].reshape(nsub, nseg * block)
@@ -997,6 +1004,39 @@ class TpuEngine:
         n = len(values)
         r = np.where(valid, gp.r, np.int32(-1)).astype(np.int32)
         values = np.asarray(values, dtype=np.float32)
+        rtype = ReductionType(info.type)
+        if gp.rotated and self.pallas != "off":
+            # Dense rotated splat: 2-D bucketing over short (ROT_ROW_BLOCK)
+            # row blocks, each point evaluating its exact quadratic form
+            # over the (TH, WT) tile in the Pallas kernel. ~100x the
+            # offset-scan fallback below; cost is inherently ~window-area
+            # VPU exps per point (no rank-1 factorization exists).
+            from .pallas_kernels import padded_width
+            TH = ROT_ROW_BLOCK
+            WT = ROT_COL_TILE
+            block = min(PALLAS_BLOCK, 2048)
+            ncb = padded_width(self.W) // WT
+            nrb = self.H_pad // TH
+            icx = gp.icx.astype(np.int64)
+            icy = gp.icy.astype(np.int64)
+            rb0 = np.where(valid, np.clip((icy - r) // TH, 0, nrb - 1), 0)
+            rb1 = np.where(valid, np.clip((icy + r) // TH, 0, nrb - 1), 0)
+            cb0 = np.where(valid, np.clip((icx - r) // WT, 0, ncb - 1), 0)
+            cb1 = np.where(valid, np.clip((icx + r) // WT, 0, ncb - 1), 0)
+            f0 = (np.ones(n, np.float32)
+                  if rtype == ReductionType.Count else values)
+            segs = [(gp.icx, 0), (gp.icy, 0),
+                    (gp.sub_cx, 0), (gp.sub_cy, 0),
+                    (gp.sx, 1.0), (gp.sy, 1.0),
+                    (gp.cos_rot, 1.0), (gp.sin_rot, 0.0),
+                    (r, -1), (f0, 0)]
+            buf, nsub, E = self._bucket_blocks_2d(rb0, rb1, cb0, cb1, ncb,
+                                                  block, segs, th=TH)
+            key = ("pallas_rot", spec_idx, nsub, block, TH)
+            builder = self._pallas_builder(info, nsub, block, TH, "rot",
+                                           False, len(segs), E, two_d=True,
+                                           wt=WT)
+            return [StagedChunk(key, self._put(buf), builder, n)]
         if gp.rotated:
             staged = []
             for start, end in chunk_ranges(n):

@@ -30,8 +30,12 @@ def main():
     ap.add_argument("--total", type=int, default=1_000_000_000)
     ap.add_argument("--chunk", type=int, default=10_000_000)
     ap.add_argument("--grid", type=int, default=4000)
-    ap.add_argument("--mode", default="tpu", choices=["cpu", "tpu"])
-    ap.add_argument("--state-dir", default="")
+    ap.add_argument("--mode", default="tpu",
+                    choices=["cpu", "tpu", "hybrid"])
+    ap.add_argument("--state-dir", default="",
+                    help="persist PCRT tile state (checkpointed run); "
+                         "empty = no checkpointing")
+    ap.add_argument("--json", default="", help="write a stats artifact")
     args = ap.parse_args()
 
     bbox = pcr.BBox()
@@ -47,15 +51,17 @@ def main():
     spec.value_channel = "value"
     spec.type = pcr.ReductionType.Average
 
-    tmp = args.state_dir or tempfile.mkdtemp(prefix="pcr_billion_")
+    tmp = tempfile.mkdtemp(prefix="pcr_billion_")
     cfg = pcr.PipelineConfig()
     cfg.grid = gc
     cfg.reductions = [spec]
-    cfg.exec_mode = (pcr.ExecutionMode.CPU if args.mode == "cpu"
-                     else pcr.ExecutionMode.GPU)
-    cfg.state_dir = os.path.join(tmp, "state")
+    cfg.exec_mode = {"cpu": pcr.ExecutionMode.CPU,
+                     "tpu": pcr.ExecutionMode.GPU,
+                     "hybrid": pcr.ExecutionMode.Hybrid}[args.mode]
+    if args.state_dir:
+        cfg.state_dir = args.state_dir
+        shutil.rmtree(cfg.state_dir, ignore_errors=True)
     cfg.output_path = os.path.join(tmp, "billion.tif")
-    shutil.rmtree(cfg.state_dir, ignore_errors=True)
 
     pipe = pcr.Pipeline.create(cfg)
     timer = PhaseTimer()
@@ -94,6 +100,20 @@ def main():
           f"library throughput "
           f"{done / timer.seconds('ingest') / 1e6:.2f} Mpts/s")
     print(f"output: {cfg.output_path}")
+
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({
+                "total_points": done, "chunk": args.chunk,
+                "grid": [gc.width, gc.height], "mode": args.mode,
+                "wall_s": round(total, 1),
+                "wall_mpts_per_s": round(done / total / 1e6, 2),
+                "library_mpts_per_s": round(
+                    done / timer.seconds("ingest") / 1e6, 2),
+                "phases": timer.summary(),
+            }, f, indent=2)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

@@ -17,7 +17,6 @@ tpu-staged (device compute, device-resident cloud — the reference's
 import argparse
 import csv
 import os
-import shutil
 import sys
 import tempfile
 import time
@@ -63,6 +62,9 @@ def specs():
     for s in (1.0, 4.0, 16.0):
         out.append((f"gauss_s{s:g}", pcr.gaussian_splat_spec(
             "value", default_sigma=s)))
+    out.append(("gauss_rot_s4", pcr.gaussian_splat_spec(
+        "value", default_sigma_x=4.0, default_sigma_y=1.5,
+        default_rotation=0.6)))
     return out
 
 
@@ -70,6 +72,7 @@ MODES = {
     "cpu": (pcr.ExecutionMode.CPU, False),
     "tpu": (pcr.ExecutionMode.GPU, False),
     "tpu-staged": (pcr.ExecutionMode.GPU, True),
+    "hybrid": (pcr.ExecutionMode.Hybrid, False),
 }
 
 
@@ -79,9 +82,9 @@ def run_cell(gc, cloud, spec, mode_name, repeats, out_dir):
     cfg.grid = gc
     cfg.reductions = [spec]
     cfg.exec_mode = exec_mode
+    # no state_dir: checkpointing would force the non-streamed finalize
+    # (and per-repeat PCRT writes) into the timed window
     cfg.output_path = os.path.join(out_dir, "out.tif")
-    cfg.state_dir = os.path.join(out_dir, "state")
-    shutil.rmtree(cfg.state_dir, ignore_errors=True)
     pipe = pcr.Pipeline.create(cfg)
     src = pipe.stage(cloud) if staged_mode else cloud
     # warmup (includes compiles on the tpu modes)

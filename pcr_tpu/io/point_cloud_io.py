@@ -15,7 +15,10 @@ src/io/point_cloud_io.cpp):
     (point_cloud_io.cpp:478-491) and shells out to Python laspy in scripts;
     this build reads LAS directly. X/Y are descaled to world doubles;
     intensity / classification / gps_time / z become channels.
-  * **LAZ**: NotImplemented (matches the reference).
+  * **LAZ**: read via the optional laspy[lazrs] dependency (the LASzip
+    stream needs an arithmetic decoder); everything else has no
+    third-party requirements. A native LAS 1.2 writer (point format 1)
+    round-trips through the reader.
 
 Format auto-detection follows point_cloud_io.cpp:25-46: extension first,
 then PCRP magic sniff, defaulting to CSV.
@@ -321,6 +324,98 @@ def _read_las(path: str, max_points: int | None = None,
     return cloud
 
 
+def _write_las(path: str, cloud: PointCloud) -> Status:
+    """Native LAS 1.2 writer (point format 1: xyz + intensity + gps_time).
+
+    Coordinates are quantized with a scale derived from the extent (so the
+    int32 range is never exceeded); z comes from the 'z' channel when
+    present, intensity/classification/gps_time likewise. Round-trips
+    through _read_las."""
+    n = cloud.count()
+    x = np.asarray(cloud.x_array(), np.float64)
+    y = np.asarray(cloud.y_array(), np.float64)
+
+    def chan(name):
+        return (np.asarray(cloud.channel_array_f32(name), np.float64)
+                if cloud.has_channel(name) else np.zeros(n))
+
+    z = chan("z")
+
+    def scale_for(lo, hi):
+        ext = max(hi - lo, 1e-9)
+        s = 10.0 ** np.ceil(np.log10(ext / 2**31))
+        return max(float(s), 1e-8)
+
+    mins = [float(a.min()) if n else 0.0 for a in (x, y, z)]
+    maxs = [float(a.max()) if n else 0.0 for a in (x, y, z)]
+    scales = [scale_for(lo, hi) for lo, hi in zip(mins, maxs)]
+
+    dt = np.dtype([("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"),
+                   ("intensity", "<u2"), ("flags", "u1"),
+                   ("classification", "u1"), ("scan_angle", "i1"),
+                   ("user_data", "u1"), ("point_source", "<u2"),
+                   ("gps_time", "<f8")])
+    rec = np.zeros(n, dt)
+    for name, a, s, o in (("X", x, scales[0], mins[0]),
+                          ("Y", y, scales[1], mins[1]),
+                          ("Z", z, scales[2], mins[2])):
+        rec[name] = np.round((a - o) / s).astype(np.int64).astype(np.int32)
+    rec["intensity"] = np.clip(chan("intensity"), 0, 65535).astype(np.uint16)
+    rec["classification"] = np.clip(chan("classification"),
+                                    0, 31).astype(np.uint8)
+    rec["gps_time"] = chan("gps_time")
+
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24] = 1
+    hdr[25] = 2
+    hdr[26:58] = b"pcr-tpu".ljust(32, b"\x00")
+    hdr[58:90] = b"pcr_tpu point_cloud_io".ljust(32, b"\x00")
+    struct.pack_into("<H", hdr, 94, 227)        # header size
+    struct.pack_into("<I", hdr, 96, 227)        # point data offset
+    struct.pack_into("<I", hdr, 100, 0)         # VLR count
+    hdr[104] = 1                                # point format 1
+    struct.pack_into("<H", hdr, 105, dt.itemsize)
+    struct.pack_into("<I", hdr, 107, n)
+    struct.pack_into("<I", hdr, 111, n)         # points by return[0]
+    struct.pack_into("<3d", hdr, 131, *scales)
+    struct.pack_into("<3d", hdr, 155, *mins)    # offsets
+    struct.pack_into("<6d", hdr, 179, maxs[0], mins[0], maxs[1], mins[1],
+                     maxs[2], mins[2])
+    try:
+        with open(path, "wb") as f:
+            f.write(bytes(hdr))
+            f.write(rec.tobytes())
+    except OSError as e:
+        return Status.error(StatusCode.IoError, f"write_las: {e}")
+    return Status.success()
+
+
+def _read_laz(path: str) -> PointCloud:
+    """LAZ via the optional laspy[lazrs] dependency (the compressed LASzip
+    stream needs an arithmetic decoder; LAS itself is read natively)."""
+    try:
+        import laspy
+    except ImportError:
+        raise PcrError(Status.error(
+            StatusCode.NotImplemented,
+            "LAZ input needs the optional 'laspy' + 'lazrs' packages "
+            "(pip install laspy[lazrs]); uncompressed LAS reads natively"))
+    las = laspy.read(path)
+    n = len(las.points)
+    cloud = PointCloud.create(n)
+    cloud.set_x_array(np.asarray(las.x, np.float64))
+    cloud.set_y_array(np.asarray(las.y, np.float64))
+    cloud.add_channel("z", DataType.Float32)
+    cloud.set_channel_array_f32("z", np.asarray(las.z, np.float32))
+    for name in ("intensity", "classification", "gps_time"):
+        if hasattr(las, name):
+            cloud.add_channel(name, DataType.Float32)
+            cloud.set_channel_array_f32(
+                name, np.asarray(las[name], np.float32))
+    return cloud
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -340,8 +435,7 @@ def read_point_cloud(path: str,
     if fmt == PointCloudFormat.LAS:
         return _read_las(path)
     if fmt == PointCloudFormat.LAZ:
-        raise PcrError(Status.error(StatusCode.NotImplemented,
-                                    "LAZ (compressed LAS) is not supported"))
+        return _read_laz(path)
     raise PcrError(Status.error(StatusCode.InvalidArgument,
                                 f"unknown format {format}"))
 
@@ -355,6 +449,8 @@ def write_point_cloud(path: str, cloud: PointCloud,
         return _write_pcrp(path, cloud)
     if fmt == PointCloudFormat.CSV:
         return _write_csv(path, cloud)
+    if fmt == PointCloudFormat.LAS:
+        return _write_las(path, cloud)
     return Status.error(StatusCode.NotImplemented,
                         f"writing format {fmt.name} is not supported")
 

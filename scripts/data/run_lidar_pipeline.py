@@ -32,23 +32,51 @@ from pcr_tpu.utils.profiling import PhaseTimer  # noqa: E402
 
 
 def synthesize(directory, n_files, pts_per_file=500_000, extent=4000.0):
+    """Write LiDAR-like LAS 1.2 tiles (native writer): a rolling terrain
+    surface plus building-footprint clusters with ground/building/vegetation
+    classifications and return-intensity structure — shaped like the DC
+    dataset the reference validates on (scripts/data/test_dc_lidar.py)."""
     os.makedirs(directory, exist_ok=True)
     rng = np.random.default_rng(0)
     side = int(np.ceil(np.sqrt(n_files)))
     tile_w = extent / side
+    origin = (389_000.0, 124_000.0)   # EPSG:32110-ish coordinates
     for i in range(n_files):
         tx, ty = i % side, i // side
-        c = pcr.PointCloud.create(pts_per_file)
-        c.set_x_array(rng.uniform(tx * tile_w, (tx + 1) * tile_w,
-                                  pts_per_file))
-        c.set_y_array(rng.uniform(ty * tile_w, (ty + 1) * tile_w,
-                                  pts_per_file))
+        n = pts_per_file
+        x = rng.uniform(tx * tile_w, (tx + 1) * tile_w, n)
+        y = rng.uniform(ty * tile_w, (ty + 1) * tile_w, n)
+        # terrain + structures
+        ground = (40 + 8 * np.sin(x / 300.0) + 6 * np.cos(y / 260.0))
+        z = ground + rng.normal(0, 0.05, n)
+        cls = np.full(n, 2, np.float32)          # ground
+        nb = max(3, int(tile_w // 120))
+        for _ in range(nb):                      # buildings
+            bx, by = rng.uniform(tx * tile_w, (tx + 1) * tile_w), \
+                rng.uniform(ty * tile_w, (ty + 1) * tile_w)
+            w, h, ht = rng.uniform(15, 60), rng.uniform(15, 60), \
+                rng.uniform(5, 40)
+            sel = (np.abs(x - bx) < w / 2) & (np.abs(y - by) < h / 2)
+            z[sel] = ground[sel] + ht + rng.normal(0, 0.03, sel.sum())
+            cls[sel] = 6
+        veg = (cls == 2) & (rng.random(n) < 0.15)   # canopy returns
+        z[veg] += rng.uniform(2, 20, int(veg.sum()))
+        cls[veg] = 5
+        c = pcr.PointCloud.create(n)
+        c.set_x_array(origin[0] + x)
+        c.set_y_array(origin[1] + y)
         c.add_channel("z", pcr.DataType.Float32)
-        c.set_channel_array_f32(
-            "z", (50 + 30 * rng.random(pts_per_file)).astype(np.float32))
+        c.set_channel_array_f32("z", z.astype(np.float32))
+        c.add_channel("intensity", pcr.DataType.Float32)
+        inten = np.where(cls == 6, rng.uniform(800, 2000, n),
+                         rng.uniform(100, 900, n))
+        c.set_channel_array_f32("intensity", inten.astype(np.float32))
+        c.add_channel("classification", pcr.DataType.Float32)
+        c.set_channel_array_f32("classification", cls)
         c.set_crs(pcr.CRS.from_epsg(32110))
-        pcr.write_point_cloud(os.path.join(directory, f"tile_{i:04d}.pcrp"),
-                              c)
+        pcr.write_point_cloud(
+            os.path.join(directory, f"tile_{i:04d}.las"), c,
+            pcr.PointCloudFormat.LAS)
     return extent
 
 
@@ -70,12 +98,70 @@ def scan_bounds(files):
     return bbox, total
 
 
+MODE_MAP = {
+    "cpu": pcr.ExecutionMode.CPU,
+    "tpu": pcr.ExecutionMode.GPU,
+    "hybrid": pcr.ExecutionMode.Hybrid,
+}
+
+
+def run_mode(mode, files, gc, spec, chunk, out):
+    """Stream every file through one Pipeline; returns per-phase stats
+    (reference analogue: the per-mode rows of
+    benchmark_results/mode_comparison.csv)."""
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [spec]
+    cfg.exec_mode = MODE_MAP[mode]
+    cfg.output_path = out
+    pipe = pcr.Pipeline.create(cfg)
+
+    timer = PhaseTimer()
+    t_start = time.perf_counter()
+    buf = pcr.PointCloud.create(chunk)
+    done = 0
+    for path in files:
+        reader = pcr.PointCloudReader.open(path)
+        while not reader.eof():
+            with timer.phase("io_read"):
+                n = reader.read_chunk(buf, chunk)
+            if n == 0:
+                break
+            with timer.phase("ingest"):
+                pipe.ingest(buf)
+            done += n
+        elapsed = time.perf_counter() - t_start
+        print(f"[{mode}] {os.path.basename(path):20s} "
+              f"total {done / 1e6:7.1f}M  "
+              f"lib {done / max(timer.seconds('ingest'), 1e-9) / 1e6:7.2f} "
+              f"Mpts/s  wall {done / elapsed / 1e6:6.2f} Mpts/s", flush=True)
+
+    with timer.phase("finalize"):
+        pipe.finalize()
+
+    band = pipe.result().band_array(0)
+    coverage = 100.0 * float(np.isfinite(band).mean())
+    wall = time.perf_counter() - t_start
+    return {
+        "mode": mode, "points": done, "wall_s": round(wall, 3),
+        "io_read_s": round(timer.seconds("io_read"), 3),
+        "ingest_s": round(timer.seconds("ingest"), 3),
+        "finalize_s": round(timer.seconds("finalize"), 3),
+        "library_mpts_per_s": round(
+            done / max(timer.seconds("ingest"), 1e-9) / 1e6, 2),
+        "wall_mpts_per_s": round(done / wall / 1e6, 2),
+        "coverage_pct": round(coverage, 1),
+    }, band
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--synthesize", type=int, default=0)
+    ap.add_argument("--pts-per-file", type=int, default=500_000)
     ap.add_argument("--cell", type=float, default=1.0)
-    ap.add_argument("--mode", default="tpu", choices=["cpu", "tpu"])
+    ap.add_argument("--modes", nargs="+", default=["tpu"],
+                    choices=list(MODE_MAP))
     ap.add_argument("--value-channel", default="z")
     ap.add_argument("--reduction", default="Average")
     ap.add_argument("--glyph", default="point",
@@ -84,20 +170,22 @@ def main():
     ap.add_argument("--chunk", type=int, default=2_000_000)
     ap.add_argument("--out", default="/tmp/pcr_lidar.tif")
     ap.add_argument("--stats-json", default="")
+    ap.add_argument("--csv", default="",
+                    help="write a mode_comparison.csv-style table")
     args = ap.parse_args()
 
     if args.synthesize:
-        synthesize(args.input, args.synthesize)
+        synthesize(args.input, args.synthesize,
+                   pts_per_file=args.pts_per_file)
 
     files = sorted(sum((glob.glob(os.path.join(args.input, pat))
-                        for pat in ("*.las", "*.pcrp", "*.csv")), []))
+                        for pat in ("*.las", "*.laz", "*.pcrp", "*.csv")),
+                       []))
     if not files:
         print(f"no point cloud files in {args.input}", file=sys.stderr)
         sys.exit(2)
 
-    timer = PhaseTimer()
-    with timer.phase("scan_bounds"):
-        bbox, total_pts = scan_bounds(files)
+    bbox, total_pts = scan_bounds(files)
     print(f"{len(files)} files, {total_pts / 1e6:.1f}M points, "
           f"bounds [{bbox.min_x:.0f},{bbox.min_y:.0f}]–"
           f"[{bbox.max_x:.0f},{bbox.max_y:.0f}]")
@@ -118,51 +206,38 @@ def main():
         spec.value_channel = args.value_channel
         spec.type = getattr(pcr.ReductionType, args.reduction)
 
-    cfg = pcr.PipelineConfig()
-    cfg.grid = gc
-    cfg.reductions = [spec]
-    cfg.exec_mode = (pcr.ExecutionMode.CPU if args.mode == "cpu"
-                     else pcr.ExecutionMode.GPU)
-    cfg.output_path = args.out
-    pipe = pcr.Pipeline.create(cfg)
+    rows = []
+    bands = {}
+    for mode in args.modes:
+        stats, band = run_mode(mode, files, gc, spec, args.chunk, args.out)
+        rows.append(stats)
+        bands[mode] = band
+        print(f"[{mode}] wall {stats['wall_s']}s  io {stats['io_read_s']}s  "
+              f"ingest {stats['ingest_s']}s  "
+              f"finalize {stats['finalize_s']}s  "
+              f"coverage {stats['coverage_pct']}%")
 
-    t_start = time.perf_counter()
-    buf = pcr.PointCloud.create(args.chunk)
-    done = 0
-    for path in files:
-        reader = pcr.PointCloudReader.open(path)
-        while not reader.eof():
-            with timer.phase("io_read"):
-                n = reader.read_chunk(buf, args.chunk)
-            if n == 0:
-                break
-            with timer.phase("ingest"):
-                pipe.ingest(buf)
-            done += n
-        elapsed = time.perf_counter() - t_start
-        print(f"{os.path.basename(path):24s} total {done / 1e6:8.1f}M  "
-              f"lib {done / max(timer.seconds('ingest'), 1e-9) / 1e6:7.2f} "
-              f"Mpts/s  wall {done / elapsed / 1e6:6.2f} Mpts/s", flush=True)
+    base = rows[0]["wall_s"]
+    for r in rows:
+        r["speedup_vs_first"] = round(base / r["wall_s"], 2)
+    if len(bands) > 1:
+        ms = list(bands)
+        a, b = bands[ms[0]], bands[ms[1]]
+        agree = bool(np.allclose(a, b, atol=1e-4, equal_nan=True))
+        print(f"modes {ms[0]} vs {ms[1]} agree at 1e-4: {agree}")
 
-    with timer.phase("finalize"):
-        pipe.finalize()
-
-    band = pipe.result().band_array(0)
-    coverage = 100.0 * float(np.isfinite(band).mean())
-    wall = time.perf_counter() - t_start
-    print("\n" + timer.report())
-    print(f"\ncoverage {coverage:.1f}%  wall {wall:.1f}s  "
-          f"library {done / timer.seconds('ingest') / 1e6:.2f} Mpts/s")
-    print(f"output: {args.out}")
-
+    if args.csv:
+        import csv as _csv
+        with open(args.csv, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}")
     if args.stats_json:
         with open(args.stats_json, "w") as f:
-            json.dump({
-                "files": len(files), "points": done,
-                "coverage_pct": coverage, "wall_s": wall,
-                "phases": timer.summary(),
-                "grid": [gc.width, gc.height],
-            }, f, indent=2)
+            json.dump({"files": len(files), "grid": [gc.width, gc.height],
+                       "modes": rows}, f, indent=2)
+        print(f"wrote {args.stats_json}")
 
 
 if __name__ == "__main__":

@@ -242,3 +242,50 @@ class TestStreamingReader:
     def test_missing_file(self):
         with pytest.raises(pcr.PcrError):
             PointCloudReader.open("/nope/missing.pcrp")
+
+
+class TestLasWriter:
+    """Native LAS 1.2 writer (point format 1) round-trips through the
+    native reader; the reference stubs LAS entirely."""
+
+    def test_write_read_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(3)
+        n = 500
+        c = make_cloud(n)
+        c.set_x_array(rng.uniform(389000, 390000, n))
+        c.set_y_array(rng.uniform(124000, 125000, n))
+        for name, arr in (("z", rng.uniform(10, 90, n)),
+                          ("intensity", rng.integers(0, 4000, n)),
+                          ("classification", rng.integers(0, 6, n)),
+                          ("gps_time", rng.uniform(0, 1e5, n))):
+            if not c.has_channel(name):
+                c.add_channel(name, pcr.DataType.Float32)
+            c.set_channel_array_f32(name, arr.astype(np.float32))
+        path = str(tmp_path / "w.las")
+        assert write_point_cloud(path, c, PointCloudFormat.LAS).ok()
+        assert detect_format(path) == PointCloudFormat.LAS
+        r = read_point_cloud(path)
+        assert r.count() == n
+        # quantization error bounded by the auto-derived scale
+        assert np.abs(r.x_array() - c.x_array()).max() < 1e-3
+        assert np.abs(r.y_array() - c.y_array()).max() < 1e-3
+        np.testing.assert_allclose(r.channel_array_f32("z"),
+                                   c.channel_array_f32("z"), atol=1e-3)
+        np.testing.assert_array_equal(
+            r.channel_array_f32("intensity"),
+            c.channel_array_f32("intensity"))
+        np.testing.assert_array_equal(
+            r.channel_array_f32("classification"),
+            c.channel_array_f32("classification"))
+
+    def test_write_empty(self, tmp_path):
+        c = pcr.PointCloud.create(0)
+        path = str(tmp_path / "e.las")
+        assert write_point_cloud(path, c, PointCloudFormat.LAS).ok()
+        assert read_point_cloud(path).count() == 0
+
+    def test_laz_needs_optional_dep(self, tmp_path):
+        path = str(tmp_path / "x.laz")
+        open(path, "wb").write(b"LASF" + b"\x00" * 100)
+        with pytest.raises(pcr.PcrError, match="laspy"):
+            read_point_cloud(path)

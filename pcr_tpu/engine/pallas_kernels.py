@@ -147,7 +147,7 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
             # (block, 16) VMEM scratch (int cells < 2^24 are exact in f32),
             # then per point load one row with a dynamic sublane slice and
             # extract lanes statically.
-            f32_segs = (2, 3, 4, 5, 6, 7, 9)   # scx scy sx sy cos sin f0
+            f32_segs = (2, 3, 4, 5, 6, 7, 9)   # scx scy c1 c2 c3 c4 f0
             for j, k in enumerate(f32_segs):
                 scratch[:, j:j + 1] = pltpu.bitcast(
                     params_ref[0, k, :].reshape(block, 1), jnp.float32)
@@ -156,9 +156,9 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                     block, 1).astype(jnp.float32)
 
             # amortize the fori-loop's per-iteration overhead (measured on
-            # v5e: 1.29 -> 4.97 -> 5.23 Mpts/s at 1/32/64; 32 balances
-            # compile time)
-            UNROLL = int(os.environ.get("PCR_ROT_UNROLL", 32))
+            # v5e with the folded-coefficient kernel: 14.6 -> 16.0 Mpts/s
+            # accumulate at UNROLL 32 -> 64, 2M pts, sigma_x=4)
+            UNROLL = int(os.environ.get("PCR_ROT_UNROLL", 64))
 
             def one_point(p, accs):
                 row = scratch[pl.ds(p, 1), :]
@@ -166,12 +166,19 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 icx_f, icy_f = gf(7), gf(8)
                 rdx = (ws_f - icx_f) - gf(0)
                 rdy = (hs_f - icy_f) - gf(1)
-                cr, sr = gf(4), gf(5)
-                qx = (rdx * cr - rdy * sr) / gf(2)
-                qy = (rdx * sr + rdy * cr) / gf(3)
-                w = jnp.exp(-0.5 * (qx * qx + qy * qy))
+                # rotation+sigma folded host-side into 4 coefficients
+                # (c1=cos/sx, c2=-sin/sx, c3=sin/sy, c4=cos/sy): the naive
+                # form costs two per-cell VPU divisions, the dominant ALU
+                # term of this roofline-bound kernel
+                qx = rdx * gf(2) + rdy * gf(3)
+                qy = rdx * gf(4) + rdy * gf(5)
+                # c's carry a 1/sqrt(2) host-side fold, so q2 is already
+                # the exponent; cutoff w>=1e-6 <=> q2 <= ln(1e6). Masked
+                # cells route q2 -> +inf so exp yields an exact 0 (keeps
+                # the empty-cell NaN semantics bit-clean)
+                q2 = qx * qx + qy * qy
                 r_f = gf(9)
-                ok = ((w >= 1e-6) & (jnp.abs(hs_f - icy_f) <= r_f)
+                ok = ((q2 <= 13.815511) & (jnp.abs(hs_f - icy_f) <= r_f)
                       & (jnp.abs(ws_f - icx_f) <= r_f) & in_grid)
                 if multi_tile:
                     rowc = jnp.clip(icy_f, 0.0, float(H - 1))
@@ -182,7 +189,7 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                         rs + th_tile, float(H)))
                     ok &= (ws_f >= cs) & (ws_f < jnp.minimum(
                         cs + tw, float(W)))
-                w = jnp.where(ok, w, 0.0)
+                w = jnp.exp(-jnp.where(ok, q2, jnp.inf))
                 out = [accs[0] + gf(6) * w]
                 if nf == 2:
                     out.append(accs[1] + w)

@@ -436,7 +436,7 @@ class Pipeline:
         return StagedCloud(per_spec=per_spec,
                            n_valid=int(np.count_nonzero(valid)),
                            col=vc, row=vr,
-                           tiles=frozenset(self._tiles_of(vc, vr)))
+                           tiles=frozenset(self._tiles_of(col, row, valid)))
 
     def ingest(self, cloud) -> None:
         """Process one point-cloud collection (PointCloud or StagedCloud).
@@ -491,7 +491,7 @@ class Pipeline:
         for i, (spec, info) in enumerate(self._plans):
             self._ingest_spec(i, spec, info, cloud, x, y, col, row, valid)
 
-        self._track_tiles(col[valid], row[valid])
+        self._track_tiles(col, row, valid)
         self._points += int(np.count_nonzero(valid))
         self._collections += 1
         self._emit_progress()
@@ -664,8 +664,15 @@ class Pipeline:
         cfg = self.config.grid
         eng = self._engine
         if gt == GlyphType.Point:
-            cells = (row.astype(np.int32) * np.int32(cfg.width)
-                     + col.astype(np.int32))
+            try:
+                # engines that take col/row fuse flatten+pack natively
+                return eng.prepare_point(i, None, valid, values, weights,
+                                         timestamps, wire_cheap=wire_cheap,
+                                         col=col, row=row)
+            except TypeError:
+                pass
+            cells = (row * np.int32(cfg.width) + col).astype(np.int32,
+                                                             copy=False)
             try:
                 return eng.prepare_point(i, cells, valid, values, weights,
                                          timestamps, wire_cheap=wire_cheap)
@@ -741,17 +748,33 @@ class Pipeline:
 
     # -- bookkeeping -------------------------------------------------------------
 
-    def _tiles_of(self, col, row):
+    def _tiles_of(self, col, row, valid=None):
+        """Exact set of (tile_row, tile_col) touched by the given cells.
+
+        O(N) presence scan (no sort, no int64 copies) — the previous
+        np.unique formulation cost ~12 s per 5M-point host ingest on a
+        1-core host and dominated the wall clock."""
         cfg = self.config.grid
+        ntiles = cfg.tiles_x * cfg.tiles_y
         if len(col) == 0:
             return []
-        t = np.unique((row.astype(np.int64) // cfg.tile_height)
-                      * cfg.tiles_x
-                      + (col.astype(np.int64) // cfg.tile_width))
+        any_valid = bool(valid.any()) if valid is not None else True
+        if not any_valid:
+            return []
+        if ntiles == 1:
+            # single-tile grid (tile 4096^2 default covers most grids)
+            return [(0, 0)]
+        tid = ((row // np.int32(cfg.tile_height)) * np.int32(cfg.tiles_x)
+               + (col // np.int32(cfg.tile_width)))
+        if valid is not None:
+            # route invalid entries to a scratch bin instead of a gather
+            tid = np.where(valid, tid, np.int32(ntiles))
+        present = np.bincount(tid.ravel(), minlength=ntiles + 1)[:ntiles]
+        t = np.flatnonzero(present)
         return [(int(ti) // cfg.tiles_x, int(ti) % cfg.tiles_x) for ti in t]
 
-    def _track_tiles(self, col, row):
-        self._touched_tiles.update(self._tiles_of(col, row))
+    def _track_tiles(self, col, row, valid=None):
+        self._touched_tiles.update(self._tiles_of(col, row, valid))
 
     def _emit_progress(self):
         if self._progress_cb is None:

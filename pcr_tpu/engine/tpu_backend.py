@@ -900,10 +900,10 @@ class TpuEngine:
              else np.ones(n, np.float32))
         return values * w, w
 
-    def prepare_point(self, spec_idx: int, cells: np.ndarray,
+    def prepare_point(self, spec_idx: int, cells,
                       valid: np.ndarray, values: np.ndarray,
                       weights=None, timestamps=None, block: int = 4_096,
-                      wire_cheap: bool = False):
+                      wire_cheap: bool = False, col=None, row=None):
         """Stage Point-glyph chunks.
 
         Sum-family ops go through the row-block-sorted one-hot matmul (the
@@ -911,15 +911,39 @@ class TpuEngine:
         encoded as cell == C. wire_cheap=True (host-sourced ingest) skips
         the host bucketing and ships the minimal [cells | fields] layout
         into a grid-shaped scatter — on a thin host link the wire, not the
-        accumulate, bounds throughput (PCR_WIRE_CHEAP=0 disables)."""
+        accumulate, bounds throughput (PCR_WIRE_CHEAP=0 disables). Callers
+        may pass col/row instead of flat cells; with the native library the
+        whole flatten+sentinel+field+pad chain then runs as one C pass."""
         _, info = self.plans[spec_idx]
-        n = len(cells)
+        n = len(cells) if cells is not None else len(col)
         wire_cheap = (wire_cheap and info.scatter_kind == "sum"
                       and self._point_pallas
                       and os.environ.get("PCR_WIRE_CHEAP", "1") == "1")
         if wire_cheap:
+            from .. import native
+            rtype = ReductionType(info.type)
+            mode = {ReductionType.Count: 1,
+                    ReductionType.WeightedAverage: 2}.get(rtype, 0)
+            with_f1 = mode == 2
+            if col is not None and native.available():
+                # fused native pack straight from the shared assignment
+                staged = []
+                for start, end in chunk_ranges(n):
+                    b = bucket_size(end - start)
+                    buf = native.pack_point_wire(
+                        col, row, valid, values, weights, start, end, b,
+                        self.W, self.C, mode)
+                    key = ("point_grid", spec_idx, b, with_f1)
+                    builder = (lambda info=info, b=b, wf1=with_f1:
+                               _build_point_update_grid(
+                                   info, self.H_pad, self.W_state, self.W,
+                                   self.C, b, wf1))
+                    staged.append(StagedChunk(key, self._put(buf), builder,
+                                              end - start))
+                return staged
+            if cells is None:
+                cells = row * np.int32(self.W) + col
             f0, f1 = self._point_fields(info, values, weights, n)
-            with_f1 = f1 is not None
             cells = np.where(valid, cells, np.int32(self.C)).astype(np.int32)
             staged = []
             for start, end in chunk_ranges(n):
@@ -943,8 +967,9 @@ class TpuEngine:
         if info.scatter_kind == "sum" and self._point_pallas:
             block = min(block, PALLAS_BLOCK)   # bounded by scoped VMEM
             TH = GAUSS_ROW_BLOCK
-            col = (cells % np.int32(self.W)).astype(np.int32)
-            row = (cells // np.int32(self.W)).astype(np.int32)
+            if col is None:
+                col = (cells % np.int32(self.W)).astype(np.int32)
+                row = (cells // np.int32(self.W)).astype(np.int32)
             col = np.where(valid, col, np.int32(-1))
             row = np.where(valid, row, np.int32(-1))
             f0, f1 = self._point_fields(info, values, weights, n)
@@ -969,6 +994,8 @@ class TpuEngine:
             return [StagedChunk(key, self._put(buf), builder, n)]
 
         # scatter path (max/min/argmax_ts)
+        if cells is None:
+            cells = row * np.int32(self.W) + col
         cells = np.where(valid, cells, np.int32(self.C)).astype(np.int32)
         values = np.asarray(values, dtype=np.float32)
         staged = []
@@ -1025,10 +1052,22 @@ class TpuEngine:
             cb1 = np.where(valid, np.clip((icx + r) // WT, 0, ncb - 1), 0)
             f0 = (np.ones(n, np.float32)
                   if rtype == ReductionType.Count else values)
+            # fold rotation+sigma into 4 coefficients so the kernel's
+            # per-cell quadratic form is two FMAs instead of two divisions
+            # (same algebra as glyph_kernels.cu:145-176: qx=(dx*cos-dy*sin)
+            # /sx, qy=(dx*sin+dy*cos)/sy)
+            # the extra 1/sqrt(2) folds the exponent's -1/2 into the
+            # coefficients (the kernel computes w = exp(-(qx^2+qy^2)))
+            inv_sx = np.float32(0.7071067811865476) / gp.sx
+            inv_sy = np.float32(0.7071067811865476) / gp.sy
+            c1 = gp.cos_rot * inv_sx
+            c2 = -gp.sin_rot * inv_sx
+            c3 = gp.sin_rot * inv_sy
+            c4 = gp.cos_rot * inv_sy
             segs = [(gp.icx, 0), (gp.icy, 0),
                     (gp.sub_cx, 0), (gp.sub_cy, 0),
-                    (gp.sx, 1.0), (gp.sy, 1.0),
-                    (gp.cos_rot, 1.0), (gp.sin_rot, 0.0),
+                    (c1, 1.0), (c2, 0.0),
+                    (c3, 0.0), (c4, 1.0),
                     (r, -1), (f0, 0)]
             buf, nsub, E = self._bucket_blocks_2d(rb0, rb1, cb0, cb1, ncb,
                                                   block, segs, th=TH)

@@ -94,6 +94,9 @@ def _load():
         i64, i64, ctypes.c_int32, ctypes.POINTER(ctypes.POINTER(
             ctypes.c_int32)), i, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, i]
+    lib.pcr_pack_point_wire.argtypes = [
+        i, i, u8, f, f, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i]
     lib.pcr_line_runs_count.argtypes = [i, i, i, i, u8, ctypes.c_int64]
     lib.pcr_line_runs_count.restype = ctypes.c_int64
     lib.pcr_line_runs_emit.argtypes = [i, i, i, i, u8] + [i] * 4 + \
@@ -172,6 +175,37 @@ def fractional_cells(cfg, x: np.ndarray, y: np.ndarray):
                            _ptr(sub_cx, ctypes.c_float),
                            _ptr(sub_cy, ctypes.c_float))
     return icx, icy, sub_cx, sub_cy
+
+
+def pack_point_wire(col, row, valid, values, weights, start: int, end: int,
+                    bucket: int, width: int, sentinel: int,
+                    mode: int) -> np.ndarray:
+    """One-pass staging pack for the wire-minimal Point layout.
+
+    Returns the padded int32 device buffer [cells | f0 (| f1)] for the
+    [start, end) slice; mode 0 = Sum/Average (f0=value), 1 = Count (f0=1),
+    2 = WeightedAverage (f0=value*w, f1=w)."""
+    L = _load()
+    nseg = 3 if mode == 2 else 2
+    out = np.empty(nseg * bucket, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    row = np.ascontiguousarray(row, np.int32)
+    if valid.dtype == np.bool_:
+        valid = valid.view(np.uint8)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    values = np.ascontiguousarray(values, np.float32)
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, np.float32)
+        wptr = _ptr(weights, ctypes.c_float)
+    else:
+        wptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+    L.pcr_pack_point_wire(_ptr(col, ctypes.c_int32),
+                          _ptr(row, ctypes.c_int32),
+                          _ptr(valid, ctypes.c_uint8),
+                          _ptr(values, ctypes.c_float), wptr,
+                          start, end, bucket, width, sentinel, mode,
+                          _ptr(out, ctypes.c_int32))
+    return out
 
 
 def lzw_encode(data: bytes) -> bytes:

@@ -100,6 +100,50 @@ void pcr_fractional_cells(const double* x, const double* y, int64_t n,
     }
 }
 
+// Fused staging pack for the wire-minimal Point layout: one pass turns
+// (col,row,valid,values[,weights]) into the padded device buffer
+// [cells | f0 (| f1)], each segment `bucket` entries, f32 bit-viewed into
+// the i32 buffer. Replaces a 5-pass numpy chain (flatten, where, astype,
+// field math, pad-copy) that cost seconds per 5M-point chunk on a 1-core
+// host. mode: 0 f0=value (Sum/Average); 1 f0=1 (Count);
+// 2 f0=value*w, f1=w (WeightedAverage).
+void pcr_pack_point_wire(const int32_t* col, const int32_t* row,
+                         const uint8_t* valid, const float* values,
+                         const float* weights, int64_t start, int64_t end,
+                         int64_t bucket, int32_t width, int32_t sentinel,
+                         int32_t mode, int32_t* out)
+{
+    const int64_t m = end - start;
+    int32_t* out_cells = out;
+    int32_t* out_f0 = out + bucket;
+    int32_t* out_f1 = (mode == 2) ? out + 2 * bucket : nullptr;
+#pragma omp parallel for schedule(static)
+    for (int64_t j = 0; j < m; ++j) {
+        const int64_t i = start + j;
+        out_cells[j] = valid[i]
+            ? row[i] * width + col[i] : sentinel;
+        float f0;
+        if (mode == 1) {
+            f0 = 1.0f;
+        } else if (mode == 2) {
+            const float w = weights ? weights[i] : 1.0f;
+            f0 = values[i] * w;
+            float f1 = w;
+            __builtin_memcpy(&out_f1[j], &f1, 4);
+        } else {
+            f0 = values[i];
+        }
+        __builtin_memcpy(&out_f0[j], &f0, 4);
+    }
+    // padding: sentinel cells scatter to the dropped overflow slot; zero
+    // field contributions keep the padded tail inert either way
+    for (int64_t j = m; j < bucket; ++j) {
+        out_cells[j] = sentinel;
+        out_f0[j] = 0;
+        if (out_f1) out_f1[j] = 0;
+    }
+}
+
 int pcr_native_version() { return 1; }
 
 int pcr_native_threads()

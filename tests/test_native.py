@@ -72,3 +72,46 @@ def test_native_metadata():
     L = native.lib()
     assert L.pcr_native_version() == 1
     assert L.pcr_native_threads() >= 1
+
+
+def test_pack_point_wire_matches_numpy():
+    """The fused native staging pack must reproduce the numpy
+    flatten+sentinel+field+pad chain bit-exactly for all three modes."""
+    rng = np.random.default_rng(7)
+    n, W, C = 10_000, 137, 137 * 53
+    col = rng.integers(0, W, n).astype(np.int32)
+    row = rng.integers(0, 53, n).astype(np.int32)
+    valid = rng.random(n) > 0.1
+    values = rng.normal(size=n).astype(np.float32)
+    weights = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    cells_ref = np.where(valid, row.astype(np.int32) * W + col,
+                         np.int32(C)).astype(np.int32)
+    start, end, bucket = 100, 8_300, 16_384
+    m = end - start
+
+    def ref(f0, f1=None):
+        nseg = 2 if f1 is None else 3
+        out = np.zeros(nseg * bucket, np.int32)
+        out[:m] = cells_ref[start:end]
+        out[m:bucket] = C
+        out[bucket:bucket + m] = f0[start:end].view(np.int32)
+        if f1 is not None:
+            out[2 * bucket:2 * bucket + m] = f1[start:end].view(np.int32)
+        return out
+
+    # mode 0: Sum/Average
+    got = native.pack_point_wire(col, row, valid, values, None,
+                                 start, end, bucket, W, C, 0)
+    assert np.array_equal(got, ref(values))
+    # mode 1: Count
+    got = native.pack_point_wire(col, row, valid, values, None,
+                                 start, end, bucket, W, C, 1)
+    assert np.array_equal(got, ref(np.ones(n, np.float32)))
+    # mode 2: WeightedAverage (f0 = v*w, f1 = w)
+    got = native.pack_point_wire(col, row, valid, values, weights,
+                                 start, end, bucket, W, C, 2)
+    assert np.array_equal(got, ref(values * weights, weights))
+    # mode 2 with missing weights -> w = 1
+    got = native.pack_point_wire(col, row, valid, values, None,
+                                 start, end, bucket, W, C, 2)
+    assert np.array_equal(got, ref(values, np.ones(n, np.float32)))

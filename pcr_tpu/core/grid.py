@@ -88,7 +88,11 @@ class Grid:
         bindings.cpp:257-268)."""
         return self._data[band_index]
 
-    def set_band_array(self, band_index: int, arr) -> None:
+    def set_band_array(self, band_index: int, arr, copy: bool = True) -> None:
+        """Replace a band's contents. copy=False adopts a C-contiguous
+        matching-dtype array zero-copy (the caller hands over ownership) —
+        used by the streamed finalize to avoid re-copying a 4 MB band the
+        host just assembled."""
         a = np.asarray(arr)
         if a.shape != (self._rows, self._cols):
             raise PcrError(Status.error(
@@ -97,9 +101,14 @@ class Grid:
         target_dtype = np_dtype(self._bands[band_index].dtype)
         if self._location == MemoryLocation.Device:
             import jax
-            self._data[band_index] = jax.device_put(a.astype(target_dtype))
+            self._data[band_index] = jax.device_put(a.astype(target_dtype,
+                                                             copy=False))
+        elif (not copy and a.dtype == target_dtype
+                and a.flags.c_contiguous):
+            self._data[band_index] = a
         else:
-            np.copyto(self._data[band_index], a.astype(target_dtype))
+            # np.copyto casts in place; no astype temporary
+            np.copyto(self._data[band_index], a)
 
     # -- Properties -------------------------------------------------------------
 

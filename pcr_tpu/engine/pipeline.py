@@ -931,13 +931,21 @@ class Pipeline:
             if info.scatter_kind != "collect":
                 strips_per_spec[i] = eng.finalize_strips(i, th)
 
+        # when every tile is touched the NaN prefill is fully overwritten
+        # by _mask_strip — skip the extra 4 MB pass on the 1-core host
+        all_touched = (len(self._touched_tiles)
+                       == cfg.tiles_x * cfg.tiles_y)
         ex = ThreadPoolExecutor(max_workers=1)
         futures = []
         bands = []
         try:
             for i, (spec, info) in enumerate(self._plans):
-                band = np.full((cfg.height, cfg.width), np.nan,
-                               dtype=np.float32)
+                if all_touched and self._plans[i][1].scatter_kind != "collect":
+                    band = np.empty((cfg.height, cfg.width),
+                                    dtype=np.float32)
+                else:
+                    band = np.full((cfg.height, cfg.width), np.nan,
+                                   dtype=np.float32)
                 if info.scatter_kind == "collect":
                     from ..ops.reduction import compute_percentile_band
                     pairs = self._collect.get(i, [])
@@ -961,7 +969,7 @@ class Pipeline:
                                                      band[r0:r1]))
                     if writer is not None:
                         futures.append(ex.submit(writer.end_band))
-                grid.set_band_array(i, band)
+                grid.set_band_array(i, band, copy=False)
                 bands.append(band)
             for f in futures:
                 f.result()

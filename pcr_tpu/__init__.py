@@ -25,7 +25,7 @@ so reference users can switch by replacing `import pcr` with
 `import pcr_tpu as pcr` (or just `import pcr`, which this repo aliases).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 import os as _os
 

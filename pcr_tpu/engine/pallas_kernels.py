@@ -95,12 +95,14 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     # mode: 'gauss' (soft separable factors), 'point' (lean one-hot layout
     # [icx | icy | f0 | (f1)]), 'rect' (interval x interval rectangles,
     # layout [ax | bx | ay | by | f0 | (f1)] — Line glyph runs), 'rot'
-    # (dense rotated-Gaussian quadratic form, layout [icx | icy | sub_cx |
-    # sub_cy | sx | sy | cos | sin | r | f0] — no rank-1 factorization
-    # exists, so each point evaluates its full (TH, WT) tile on the VPU)
+    # (dense rotated-Gaussian quadratic form in completed-square form,
+    # all-f32 layout [xoff | yoff | s | sC | sA2 | f0 | icx | icy | r] —
+    # no rank-1 factorization exists, so each point evaluates its full
+    # (TH, WT) tile on the VPU; params ride SMEM so per-point reads are
+    # scalar-core loads, not vector lane extracts)
     mode = ({True: "point", False: "gauss"}[point_mode]
             if isinstance(point_mode, bool) else point_mode)
-    nseg = ({"point": 3, "rect": 5, "gauss": 8, "rot": 10}[mode]
+    nseg = ({"point": 3, "rect": 5, "gauss": 8, "rot": 9}[mode]
             + (1 if with_f1 else 0))
     multi_tile = cfg.total_tiles() > 1
     tw, th_tile = cfg.tile_width, cfg.tile_height
@@ -113,7 +115,6 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     def kernel(bids_ref, params_ref, *refs):
         st_refs = refs[:nf]
         out_refs = refs[nf:2 * nf]
-        scratch = refs[2 * nf] if mode == "rot" else None
         i = pl.program_id(0)
         prev = bids_ref[jnp.maximum(i - 1, 0)]
         first = jnp.logical_or(i == 0, bids_ref[i] != prev)
@@ -127,70 +128,73 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         if mode == "rot":
             # Dense rotated splat: per point, evaluate the exact rotated
             # quadratic form over the whole (TH, WT) state tile and
-            # accumulate (cost ~TH*WT VPU exps per point — the price of a
+            # accumulate (cost ~TH*WT VPU cells per point — the price of a
             # non-separable footprint; still ~100x the full-grid offset
             # scan this replaces). Matches glyph_kernels.cu:145-176 incl.
-            # the 1e-6 product cutoff, term for term.
+            # the 1e-6 product cutoff.
+            #
+            # The quadratic form rides its completed square: with
+            # A=c1²+c3², B=c1c2+c3c4, C=c2²+c4² (the c's carrying the
+            # reference's 1/sqrt(2) exponent fold), q2 = A dx² + 2B dxdy
+            # + C dy² = (sA2·dx)² + (sC·(dy + s·dx))², s = B/C. dx varies
+            # only along lanes, so its half — (sA2·dx)², the shear term
+            # s·dx, and the column window/grid/tile masks (poisoned into
+            # the dx half as +inf) — is computed once per point on a
+            # (1, WT) vector and broadcast; the 2-D loop keeps ~7 vector
+            # ops per cell vs ~19 for the naive evaluation. Params live in
+            # SMEM (all segments pre-converted to f32 host-side), so the
+            # ~10 per-point reads are scalar-core loads instead of a VMEM
+            # staging pass plus dynamic-slice lane extracts.
             @pl.when(first)
             def _():
                 for f in range(nf):
                     out_refs[f][:] = st_refs[f][:]
 
-            hs_i = jax.lax.broadcasted_iota(jnp.int32, (TH, WT), 0) + row0
-            ws_i = jax.lax.broadcasted_iota(jnp.int32, (TH, WT), 1) + col0
-            hs_f = hs_i.astype(jnp.float32)
-            ws_f = ws_i.astype(jnp.float32)
-            in_grid = (hs_i < H) & (ws_i < W)
+            hs_f = (jax.lax.broadcasted_iota(jnp.int32, (TH, WT), 0)
+                    + row0).astype(jnp.float32)
+            ws1_i = jax.lax.broadcasted_iota(jnp.int32, (1, WT), 1) + col0
+            ws1 = ws1_i.astype(jnp.float32)
+            lane_ok = ws1_i < W                      # (1, WT)
+            row_lim = jnp.float32(H - 1)
 
-            # Mosaic supports neither scalar bitcasts nor dynamic
-            # lane-indexed loads: stage every parameter as an f32 lane in a
-            # (block, 16) VMEM scratch (int cells < 2^24 are exact in f32),
-            # then per point load one row with a dynamic sublane slice and
-            # extract lanes statically.
-            f32_segs = (2, 3, 4, 5, 6, 7, 9)   # scx scy c1 c2 c3 c4 f0
-            for j, k in enumerate(f32_segs):
-                scratch[:, j:j + 1] = pltpu.bitcast(
-                    params_ref[0, k, :].reshape(block, 1), jnp.float32)
-            for j, k in ((7, 0), (8, 1), (9, 8)):   # icx icy r
-                scratch[:, j:j + 1] = params_ref[0, k, :].reshape(
-                    block, 1).astype(jnp.float32)
-
-            # amortize the fori-loop's per-iteration overhead (measured on
-            # v5e with the folded-coefficient kernel: 14.6 -> 16.0 Mpts/s
-            # accumulate at UNROLL 32 -> 64, 2M pts, sigma_x=4)
             UNROLL = int(os.environ.get("PCR_ROT_UNROLL", 64))
+            INF = jnp.float32(np.inf)
 
             def one_point(p, accs):
-                row = scratch[pl.ds(p, 1), :]
-                gf = lambda j: row[0, j]
-                icx_f, icy_f = gf(7), gf(8)
-                rdx = (ws_f - icx_f) - gf(0)
-                rdy = (hs_f - icy_f) - gf(1)
-                # rotation+sigma folded host-side into 4 coefficients
-                # (c1=cos/sx, c2=-sin/sx, c3=sin/sy, c4=cos/sy): the naive
-                # form costs two per-cell VPU divisions, the dominant ALU
-                # term of this roofline-bound kernel
-                qx = rdx * gf(2) + rdy * gf(3)
-                qy = rdx * gf(4) + rdy * gf(5)
-                # c's carry a 1/sqrt(2) host-side fold, so q2 is already
-                # the exponent; cutoff w>=1e-6 <=> q2 <= ln(1e6). Masked
-                # cells route q2 -> +inf so exp yields an exact 0 (keeps
-                # the empty-cell NaN semantics bit-clean)
-                q2 = qx * qx + qy * qy
-                r_f = gf(9)
-                ok = ((q2 <= 13.815511) & (jnp.abs(hs_f - icy_f) <= r_f)
-                      & (jnp.abs(ws_f - icx_f) <= r_f) & in_grid)
+                gf = lambda j: params_ref[0, j, p]
+                icx_f, icy_f, r_f = gf(6), gf(7), gf(8)
+                # (1, WT) lane-only half: dx, shear, col masks
+                dx = ws1 + gf(0)                     # (ws - icx) - sub_cx
+                u = dx * gf(4)                       # sA2·dx
+                col_ok = (jnp.abs(ws1 - icx_f) <= r_f) & lane_ok
                 if multi_tile:
-                    rowc = jnp.clip(icy_f, 0.0, float(H - 1))
                     colc = jnp.clip(icx_f, 0.0, float(W - 1))
-                    rs = jnp.floor(rowc / th_tile) * th_tile
                     cs = jnp.floor(colc / tw) * tw
-                    ok &= (hs_f >= rs) & (hs_f < jnp.minimum(
-                        rs + th_tile, float(H)))
-                    ok &= (ws_f >= cs) & (ws_f < jnp.minimum(
+                    col_ok &= (ws1 >= cs) & (ws1 < jnp.minimum(
                         cs + tw, float(W)))
-                w = jnp.exp(-jnp.where(ok, q2, jnp.inf))
-                out = [accs[0] + gf(6) * w]
+                gq = jnp.where(col_ok, u * u, INF)   # poisoned dx half
+                # shear shift + row offset folded into one lane vector:
+                # dy' = (hs - icy - sub_cy) + s·dx = hs + (s·dx + yoff)
+                sdx = dx * gf(2) + gf(1)
+                rlo, rhi = icy_f - r_f, icy_f + r_f
+                if multi_tile:
+                    rowc = jnp.clip(icy_f, 0.0, row_lim)
+                    rs = jnp.floor(rowc / th_tile) * th_tile
+                    rlo = jnp.maximum(rlo, rs)
+                    rhi = jnp.minimum(rhi, jnp.minimum(
+                        rs + th_tile - 1, row_lim))
+                else:
+                    rhi = jnp.minimum(rhi, row_lim)
+                v = (hs_f + sdx) * gf(3)             # sC·dy'
+                q2 = v * v + gq
+                # q2 is in log2 units (sqrt(log2 e) folded into sC/sA2
+                # host-side): cutoff w>=1e-6 <=> q2 <= ln(1e6)*log2(e);
+                # out-of-window and out-of-grid cells route q2 -> +inf so
+                # exp2 yields an exact 0 (keeps the empty-cell NaN
+                # semantics bit-clean)
+                ok = (q2 <= 19.931569) & (hs_f >= rlo) & (hs_f <= rhi)
+                w = jnp.exp2(-jnp.where(ok, q2, INF))
+                out = [accs[0] + gf(5) * w]
                 if nf == 2:
                     out.append(accs[1] + w)
                 return tuple(out)
@@ -338,17 +342,19 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
         state_spec = lambda: pl.BlockSpec(
             (TH, W_pad), lambda i, bids: (bids[i], 0))
 
+    # (1, nseg, block): middle dim equals the array dim and the lane dim
+    # is 128-aligned, satisfying Mosaic block constraints. Rot params go
+    # to SMEM (scalar loads); the other modes read them as lane vectors.
+    params_spec = (pl.BlockSpec((1, nseg, block),
+                                lambda i, bids: (i, 0, 0),
+                                memory_space=pltpu.SMEM)
+                   if mode == "rot" else
+                   pl.BlockSpec((1, nseg, block), lambda i, bids: (i, 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsub,),
-        in_specs=[
-            # (1, nseg, block): middle dim equals the array dim and the
-            # lane dim is 128-aligned, satisfying Mosaic block constraints
-            pl.BlockSpec((1, nseg, block), lambda i, bids: (i, 0, 0)),
-        ] + [state_spec() for _ in range(nf)],
+        in_specs=[params_spec] + [state_spec() for _ in range(nf)],
         out_specs=[state_spec() for _ in range(nf)],
-        scratch_shapes=([pltpu.VMEM((block, 16), jnp.float32)]
-                        if mode == "rot" else []),
     )
 
     # raise the scoped-VMEM cap (default 16 MB) so larger entry blocks fit;
@@ -365,7 +371,12 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     )
 
     def update(states, params_2d, bids):
-        out = call(bids, params_2d.reshape(nsub, nseg, block), *states)
+        params_3d = params_2d.reshape(nsub, nseg, block)
+        if mode == "rot":
+            # rot segments are packed all-f32 (ints pre-converted on the
+            # host); the bit-view round-trips through the i32 wire buffer
+            params_3d = jax.lax.bitcast_convert_type(params_3d, jnp.float32)
+        out = call(bids, params_3d, *states)
         return tuple(out)
 
     return update

@@ -1052,26 +1052,41 @@ class TpuEngine:
             cb1 = np.where(valid, np.clip((icx + r) // WT, 0, ncb - 1), 0)
             f0 = (np.ones(n, np.float32)
                   if rtype == ReductionType.Count else values)
-            # fold rotation+sigma into 4 coefficients so the kernel's
-            # per-cell quadratic form is two FMAs instead of two divisions
-            # (same algebra as glyph_kernels.cu:145-176: qx=(dx*cos-dy*sin)
-            # /sx, qy=(dx*sin+dy*cos)/sy)
-            # the extra 1/sqrt(2) folds the exponent's -1/2 into the
-            # coefficients (the kernel computes w = exp(-(qx^2+qy^2)))
+            # fold rotation+sigma into the completed square of the
+            # quadratic form (same algebra as glyph_kernels.cu:145-176:
+            # qx=(dx*cos-dy*sin)/sx, qy=(dx*sin+dy*cos)/sy): with
+            # c1=cos/sx, c2=-sin/sx, c3=sin/sy, c4=cos/sy (each carrying
+            # a 1/sqrt(2) fold so q2 IS the exponent),
+            #   q2 = A dx^2 + 2B dx dy + C dy^2
+            #      = (sA2*dx)^2 + (sC*(dy + s*dx))^2
+            # which splits per kernel axis: the dx half is lane-only.
             inv_sx = np.float32(0.7071067811865476) / gp.sx
             inv_sy = np.float32(0.7071067811865476) / gp.sy
             c1 = gp.cos_rot * inv_sx
             c2 = -gp.sin_rot * inv_sx
             c3 = gp.sin_rot * inv_sy
             c4 = gp.cos_rot * inv_sy
-            segs = [(gp.icx, 0), (gp.icy, 0),
-                    (gp.sub_cx, 0), (gp.sub_cy, 0),
-                    (c1, 1.0), (c2, 0.0),
-                    (c3, 0.0), (c4, 1.0),
-                    (r, -1), (f0, 0)]
+            A = c1 * c1 + c3 * c3
+            B = c1 * c2 + c3 * c4
+            C = c2 * c2 + c4 * c4
+            icx_f = gp.icx.astype(np.float32)
+            icy_f = gp.icy.astype(np.float32)
+            # sqrt(log2 e) rides the square-root coefficients so the
+            # kernel evaluates exp2(-q2') directly (saves the exp
+            # lowering's internal x*log2e per cell); the cutoff constant
+            # scales to ln(1e6)*log2e in the kernel to match.
+            s_l2e = np.float32(1.2011224087864498)
+            segs = [(-(icx_f + gp.sub_cx), 0.0),
+                    (-(icy_f + gp.sub_cy), 0.0),
+                    (B / C, 0.0),
+                    (np.sqrt(C) * s_l2e, 0.0),
+                    (np.sqrt(np.maximum(A - B * B / C, 0.0)) * s_l2e, 0.0),
+                    (f0, 0.0),
+                    (icx_f, 0.0), (icy_f, 0.0),
+                    (r.astype(np.float32), -1.0)]
             buf, nsub, E = self._bucket_blocks_2d(rb0, rb1, cb0, cb1, ncb,
                                                   block, segs, th=TH)
-            key = ("pallas_rot", spec_idx, nsub, block, TH)
+            key = ("pallas_rot2", spec_idx, nsub, block, TH)
             builder = self._pallas_builder(info, nsub, block, TH, "rot",
                                            False, len(segs), E, two_d=True,
                                            wt=WT)

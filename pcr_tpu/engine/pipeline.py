@@ -809,12 +809,20 @@ class Pipeline:
             bands.append(BandDesc(name=name, dtype=DataType.Float32,
                                   is_state=False))
         grid = Grid.create(cfg.width, cfg.height, bands, MemoryLocation.Host)
+        # When every tile was touched the NaN prefill is fully overwritten —
+        # skip it (and the extra full-band copy below); on a 10M+-cell grid
+        # those are two of the four host passes.
+        all_touched = (len(self._touched_tiles)
+                       == cfg.tiles_x * cfg.tiles_y)
         for i, (spec, info) in enumerate(self._plans):
             # Per-tile finalize, reference semantics (pipeline.cpp:1204-1283):
             # bands start NaN; only tiles with state are finalized, so e.g.
             # Sum yields 0.0 for empty cells inside touched tiles and NaN
             # for untouched tiles.
-            band = np.full((cfg.height, cfg.width), np.nan, dtype=np.float32)
+            band = (np.empty((cfg.height, cfg.width), dtype=np.float32)
+                    if all_touched else
+                    np.full((cfg.height, cfg.width), np.nan,
+                            dtype=np.float32))
             if info.scatter_kind == "collect":
                 from ..ops.reduction import compute_percentile_band
                 pairs = self._collect.get(i, [])
@@ -831,11 +839,15 @@ class Pipeline:
             if self._backend == "jax":
                 # finalize on device; fetch one band instead of K state fields
                 full = self._engine.finalize_band(i)
-                for (trow, tcol) in self._touched_tiles:
-                    cs, rs, cc, rc = cfg.tile_cell_range(
-                        TileIndex(row=trow, col=tcol))
-                    band[rs:rs + rc, cs:cs + cc] = full[rs:rs + rc,
-                                                        cs:cs + cc]
+                if all_touched:
+                    band = np.ascontiguousarray(full[:cfg.height, :cfg.width],
+                                                dtype=np.float32)
+                else:
+                    for (trow, tcol) in self._touched_tiles:
+                        cs, rs, cc, rc = cfg.tile_cell_range(
+                            TileIndex(row=trow, col=tcol))
+                        band[rs:rs + rc, cs:cs + cc] = full[rs:rs + rc,
+                                                            cs:cs + cc]
             elif self._tiled:
                 mgr = self._managers[i]
                 for (trow, tcol) in self._touched_tiles:
@@ -846,6 +858,12 @@ class Pipeline:
                                    for f in range(info.state_floats)]
                     band[rs:rs + rc, cs:cs + cc] = np.asarray(
                         info.finalize_arrays(tile_fields), dtype=np.float32)
+            elif all_touched:
+                band = np.asarray(
+                    info.finalize_arrays(list(self._host_state[i])),
+                    dtype=np.float32)
+                if any(band is f for f in self._host_state[i]):
+                    band = band.copy()   # Sum finalize returns state itself
             else:
                 fields = self._host_state[i]
                 for (trow, tcol) in self._touched_tiles:
@@ -854,7 +872,7 @@ class Pipeline:
                     tile_fields = [f[rs:rs + rc, cs:cs + cc] for f in fields]
                     band[rs:rs + rc, cs:cs + cc] = np.asarray(
                         info.finalize_arrays(tile_fields), dtype=np.float32)
-            grid.set_band_array(i, band)
+            grid.set_band_array(i, band, copy=False)
         self._result = grid
         self._finalized = True
 

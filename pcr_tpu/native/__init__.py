@@ -102,6 +102,9 @@ def _load():
     lib.pcr_line_runs_emit.argtypes = [i, i, i, i, u8] + [i] * 4 + \
         [ctypes.c_int64] + [i] * 5
     lib.pcr_line_runs_emit.restype = ctypes.c_int64
+    lib.pcr_fin_avg.argtypes = [f, f, f, ctypes.c_int64]
+    lib.pcr_fin_sentinel.argtypes = [f, f, ctypes.c_int64, ctypes.c_float]
+    lib.pcr_fin_count.argtypes = [f, f, ctypes.c_int64]
     _LIB = lib
     return _LIB
 
@@ -335,3 +338,34 @@ def line_runs(ix0, iy0, ix1, iy1, valid, clip_cs, clip_rs, clip_ce,
         _ptr(ay, ctypes.c_int32), _ptr(by, ctypes.c_int32),
         _ptr(owner, ctypes.c_int32)))
     return ax[:m], bx[:m], ay[:m], by[:m], owner[:m]
+
+
+def fin_avg(sum_arr: np.ndarray, cnt_arr: np.ndarray) -> np.ndarray:
+    """Single-pass Average finalize: sum/count with empty-cell NaN."""
+    L = _load()
+    s = np.ascontiguousarray(sum_arr, np.float32)
+    c = np.ascontiguousarray(cnt_arr, np.float32)
+    out = np.empty_like(s)
+    L.pcr_fin_avg(_ptr(s, ctypes.c_float), _ptr(c, ctypes.c_float),
+                  _ptr(out, ctypes.c_float), s.size)
+    return out
+
+
+def fin_sentinel(state: np.ndarray, sentinel: float) -> np.ndarray:
+    """Single-pass Max/Min finalize: sentinel (±FLT_MAX) -> NaN."""
+    L = _load()
+    s = np.ascontiguousarray(state, np.float32)
+    out = np.empty_like(s)
+    L.pcr_fin_sentinel(_ptr(s, ctypes.c_float), _ptr(out, ctypes.c_float),
+                       s.size, ctypes.c_float(sentinel))
+    return out
+
+
+def fin_count(state: np.ndarray) -> np.ndarray:
+    """Single-pass Count finalize: zero -> NaN."""
+    L = _load()
+    s = np.ascontiguousarray(state, np.float32)
+    out = np.empty_like(s)
+    L.pcr_fin_count(_ptr(s, ctypes.c_float), _ptr(out, ctypes.c_float),
+                    s.size)
+    return out

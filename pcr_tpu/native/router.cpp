@@ -577,3 +577,41 @@ int64_t pcr_line_runs_emit(const int32_t* ix0, const int32_t* iy0,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Single-pass reduction finalizes. The numpy forms need 3-4 full-array
+// passes each (compare, guard, divide, select) — on a slow host that is
+// the dominant cost of a CPU-mode finalize at 10M+ cells. One fused pass
+// with the empty-cell NaN semantics of builtin_ops.h:29,42,55.
+// ---------------------------------------------------------------------------
+
+#include <limits>
+
+extern "C" {
+
+void pcr_fin_avg(const float* sum, const float* cnt, float* out, int64_t n)
+{
+    const float nan = std::numeric_limits<float>::quiet_NaN();
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = cnt[i] > 0.0f ? sum[i] / cnt[i] : nan;
+}
+
+// max/min/count: empty cells carry `sentinel` (-FLT_MAX / FLT_MAX / 0).
+void pcr_fin_sentinel(const float* s, float* out, int64_t n, float sentinel)
+{
+    const float nan = std::numeric_limits<float>::quiet_NaN();
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = s[i] == sentinel ? nan : s[i];
+}
+
+void pcr_fin_count(const float* s, float* out, int64_t n)
+{
+    const float nan = std::numeric_limits<float>::quiet_NaN();
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = s[i] > 0.0f ? s[i] : nan;
+}
+
+} // extern "C"

@@ -178,27 +178,51 @@ def _xp(arr):
     return jnp
 
 
+def _native_fin():
+    """The native single-pass finalize module, or None. Numpy's forms need
+    3-4 full-array passes (compare/guard/divide/select) — the dominant cost
+    of a host finalize at 10M+ cells on a slow machine."""
+    from .. import native
+    return native if native.available() else None
+
+
 def _fin_max_arrays(state):
     s = state[0]
     xp = _xp(s)
+    if xp is np:
+        nat = _native_fin()
+        if nat is not None:
+            return nat.fin_sentinel(s, -FLT_MAX).reshape(s.shape)
     return xp.where(s == np.float32(-FLT_MAX), np.float32(np.nan), s)
 
 
 def _fin_min_arrays(state):
     s = state[0]
     xp = _xp(s)
+    if xp is np:
+        nat = _native_fin()
+        if nat is not None:
+            return nat.fin_sentinel(s, FLT_MAX).reshape(s.shape)
     return xp.where(s == np.float32(FLT_MAX), np.float32(np.nan), s)
 
 
 def _fin_count_arrays(state):
     s = state[0]
     xp = _xp(s)
+    if xp is np:
+        nat = _native_fin()
+        if nat is not None:
+            return nat.fin_count(s).reshape(s.shape)
     return xp.where(s > 0.0, s, np.float32(np.nan))
 
 
 def _fin_avg_arrays(state):
     s, c = state[0], state[1]
     xp = _xp(s)
+    if xp is np:
+        nat = _native_fin()
+        if nat is not None:
+            return nat.fin_avg(s, c).reshape(s.shape)
     # Guard the division to avoid 0/0 warnings on the numpy path.
     denom = xp.where(c > 0.0, c, np.float32(1.0))
     return xp.where(c > 0.0, s / denom, np.float32(np.nan))

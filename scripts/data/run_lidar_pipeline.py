@@ -116,9 +116,34 @@ def run_mode(mode, files, gc, spec, chunk, out):
     cfg.output_path = out
     pipe = pcr.Pipeline.create(cfg)
 
+    buf = pcr.PointCloud.create(chunk)
+    warm_s = 0.0
+    if mode != "cpu":
+        # Warm the accelerator path on a throwaway pipeline: the remote
+        # tunnel's first synchronous op and the per-grid-shape XLA/Mosaic
+        # compiles are one-time costs (reported separately, like CUDA
+        # context init in the reference's harness) — the steady-state
+        # phase timing below is what mode_comparison compares.
+        t0 = time.perf_counter()
+        wcfg = pcr.PipelineConfig()
+        wcfg.grid = gc
+        wcfg.reductions = [spec]
+        wcfg.exec_mode = MODE_MAP[mode]
+        wcfg.output_path = out + ".warm.tif"
+        wpipe = pcr.Pipeline.create(wcfg)
+        reader = pcr.PointCloudReader.open(files[0])
+        n = reader.read_chunk(buf, chunk)
+        if n:
+            wpipe.ingest(buf)
+        wpipe.finalize()
+        try:
+            os.remove(wcfg.output_path)
+        except OSError:
+            pass
+        warm_s = time.perf_counter() - t0
+
     timer = PhaseTimer()
     t_start = time.perf_counter()
-    buf = pcr.PointCloud.create(chunk)
     done = 0
     for path in files:
         reader = pcr.PointCloudReader.open(path)
@@ -144,6 +169,7 @@ def run_mode(mode, files, gc, spec, chunk, out):
     wall = time.perf_counter() - t_start
     return {
         "mode": mode, "points": done, "wall_s": round(wall, 3),
+        "warmup_s": round(warm_s, 3),
         "io_read_s": round(timer.seconds("io_read"), 3),
         "ingest_s": round(timer.seconds("ingest"), 3),
         "finalize_s": round(timer.seconds("finalize"), 3),

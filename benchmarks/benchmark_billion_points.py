@@ -64,6 +64,11 @@ def main():
     cfg.output_path = os.path.join(tmp, "billion.tif")
 
     pipe = pcr.Pipeline.create(cfg)
+    t0 = time.perf_counter()
+    # absorb one-time tunnel/compile costs (reported separately)
+    pipe.warmup(chunk_points=args.chunk)
+    warm_s = time.perf_counter() - t0
+    print(f"warmup {warm_s:.1f}s", flush=True)
     timer = PhaseTimer()
     rng = np.random.default_rng(7)
     cloud = pcr.PointCloud.create(args.chunk)
@@ -107,6 +112,7 @@ def main():
             json.dump({
                 "total_points": done, "chunk": args.chunk,
                 "grid": [gc.width, gc.height], "mode": args.mode,
+                "warmup_s": round(warm_s, 1),
                 "wall_s": round(total, 1),
                 "wall_mpts_per_s": round(done / total / 1e6, 2),
                 "library_mpts_per_s": round(

@@ -1008,6 +1008,53 @@ class Pipeline:
             self.ingest(c)
         self.finalize()
 
+    def warmup(self, chunk_points: int = 0) -> None:
+        """Absorb one-time accelerator costs before timed/production work.
+
+        The first synchronous device operation of a process (remote
+        tunnels may stall on it) and the per-grid-shape XLA/Mosaic
+        compiles of the ingest and finalize programs otherwise land in
+        the first real `ingest()`/`finalize()` call. This runs the full
+        lifecycle on a throwaway pipeline with the same grid/reductions
+        (and, with `chunk_points`, the same chunk bucket) so those costs
+        are paid here instead. No-op on the CPU backend; does not touch
+        this pipeline's state or output.
+
+        The reference pays the analogous CUDA context/module-load cost
+        inside Pipeline::create (pipeline.cpp:109-217); here compiles
+        are shape-keyed, so warming needs a representative ingest."""
+        if self._backend != "jax":
+            return
+        import copy
+        cfg = copy.copy(self.config)
+        cfg.output_path = ""
+        cfg.state_dir = ""
+        cfg.resume = False
+        cfg.filter = type(self.config.filter)()
+        shadow = Pipeline.create(cfg)
+        n = max(int(chunk_points), 2)
+        rng = np.random.default_rng(0)
+        b = self.config.grid.bounds
+        cloud = PointCloud.create(n)
+        cloud.set_x_array(rng.uniform(b.min_x, b.max_x, n))
+        cloud.set_y_array(rng.uniform(b.min_y, b.max_y, n))
+        channels = set()
+        for spec, info in self._plans:
+            for ch in (spec.value_channel, spec.weight_channel,
+                       spec.timestamp_channel, spec.priority_channel,
+                       spec.glyph.sigma_x_channel, spec.glyph.sigma_y_channel,
+                       spec.glyph.rotation_channel,
+                       spec.glyph.direction_channel,
+                       spec.glyph.half_length_channel):
+                if ch:
+                    channels.add(ch)
+        for ch in channels:
+            cloud.add_channel(ch, DataType.Float32)
+            cloud.set_channel_array_f32(
+                ch, rng.uniform(0.1, 1.0, n).astype(np.float32))
+        shadow.ingest(cloud)
+        shadow.finalize()
+
     def set_progress_callback(self, cb) -> None:
         self._progress_cb = cb
 

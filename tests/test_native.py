@@ -115,3 +115,28 @@ def test_pack_point_wire_matches_numpy():
     got = native.pack_point_wire(col, row, valid, values, None,
                                  start, end, bucket, W, C, 2)
     assert np.array_equal(got, ref(values, np.ones(n, np.float32)))
+
+
+def test_fin_kernels_match_numpy():
+    """Native single-pass finalizes vs the numpy forms, bit-exact
+    (reference NaN semantics: builtin_ops.h:29,42,55)."""
+    if not native.available():
+        pytest.skip("no native build")
+    rng = np.random.default_rng(3)
+    n = 10_000
+    s = rng.uniform(-5, 5, n).astype(np.float32)
+    c = rng.integers(0, 3, n).astype(np.float32)
+    got = native.fin_avg(s, c)
+    want = np.where(c > 0, s / np.where(c > 0, c, 1.0), np.nan)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    FLT_MAX = np.float32(np.finfo(np.float32).max)
+    m = np.where(rng.random(n) < 0.3, -FLT_MAX, s).astype(np.float32)
+    np.testing.assert_array_equal(
+        native.fin_sentinel(m, -FLT_MAX),
+        np.where(m == -FLT_MAX, np.float32(np.nan), m))
+    np.testing.assert_array_equal(
+        native.fin_sentinel(-m, FLT_MAX),
+        np.where(-m == FLT_MAX, np.float32(np.nan), -m))
+    np.testing.assert_array_equal(
+        native.fin_count(c), np.where(c > 0, c, np.float32(np.nan)))

@@ -7,7 +7,7 @@ import pytest
 
 import pcr_tpu as pcr
 from pcr_tpu.io.geotiff import read_geotiff_band, read_geotiff_info
-from conftest import make_grid_config
+from conftest import make_cloud, make_grid_config
 
 RT = pcr.ReductionType
 
@@ -355,3 +355,28 @@ def test_priority_merge(tmp_path):
         band = p.result().band_array(0)[0]
         assert list(band[:3]) == expected, (mode, band)
         assert np.isnan(band[3])
+
+
+def test_warmup_is_side_effect_free(tmp_path):
+    """warmup() pre-compiles the grid-shaped programs on a throwaway
+    pipeline without touching this pipeline's state, output, or stats."""
+    gc = make_grid_config()
+    out = str(tmp_path / "warm.tif")
+    spec = pcr.gaussian_splat_spec("v", default_sigma=1.5)
+    cfg = pcr.PipelineConfig(grid=gc, reductions=[spec],
+                             exec_mode=pcr.ExecutionMode.GPU,
+                             output_path=out)
+    p = pcr.Pipeline.create(cfg)
+    p.warmup(chunk_points=64)
+    assert p.stats().points_processed == 0
+    assert not os.path.exists(out)
+    cloud = make_cloud(500, seed=4, channels=("v",))
+    p.ingest(cloud)
+    p.finalize()
+    cfg2 = pcr.PipelineConfig(grid=gc, reductions=[spec],
+                              exec_mode=pcr.ExecutionMode.GPU)
+    p2 = pcr.Pipeline.create(cfg2)
+    p2.ingest(make_cloud(500, seed=4, channels=("v",)))
+    p2.finalize()
+    np.testing.assert_array_equal(p.result().band_array(0),
+                                  p2.result().band_array(0))

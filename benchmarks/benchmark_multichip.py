@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Multi-chip weak/strong-scaling benchmark over the dp x sp mesh.
+
+Runs the user-facing sharded Pipeline (PipelineConfig.mesh_devices /
+mesh_dp / mesh_sp) at a ladder of device counts and records wall time,
+library throughput, and parallel efficiency vs the 1-device run. The
+reference is single-device (SURVEY.md section 2.7), so there is no
+baseline to compare against — this records the scale-out headroom the
+TPU build adds.
+
+On real pods the devices are chips over ICI; anywhere else use virtual
+CPU devices to exercise the same code path (numbers then measure the
+sharding machinery, not hardware):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/benchmark_multichip.py --points 2000000
+
+Writes a CSV with one row per (devices, dp, sp, glyph) config.
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import pcr_tpu as pcr  # noqa: E402
+
+
+def make_cloud(n, size, rng):
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(0, size, n))
+    c.set_y_array(rng.uniform(0, size, n))
+    c.add_channel("value", pcr.DataType.Float32)
+    c.set_channel_array_f32("value", rng.uniform(0, 1, n).astype(np.float32))
+    return c
+
+
+def run_config(gc, cloud, spec, n_dev, dp, sp, repeats):
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [spec]
+    cfg.exec_mode = pcr.ExecutionMode.GPU
+    if n_dev > 1:
+        cfg.mesh_devices = n_dev
+        cfg.mesh_dp, cfg.mesh_sp = dp, sp
+    pipe = pcr.Pipeline.create(cfg)
+    pipe.ingest(cloud)     # warm (compile)
+    pipe.finalize()
+    best = float("inf")
+    for _ in range(repeats):
+        p = pcr.Pipeline.create(cfg)
+        t0 = time.perf_counter()
+        p.ingest(cloud)
+        p.finalize()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=2_000_000)
+    ap.add_argument("--grid", type=int, default=1024)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--glyphs", nargs="+", default=["point", "gauss"],
+                    choices=["point", "gauss", "line"])
+    ap.add_argument("--csv", default="")
+    args = ap.parse_args()
+
+    import jax
+    n_total = len(jax.devices())
+    ladder = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_total]
+    print(f"{n_total} devices ({jax.devices()[0].platform}); "
+          f"ladder {ladder}")
+
+    bbox = pcr.BBox()
+    bbox.min_x, bbox.min_y = 0.0, 0.0
+    bbox.max_x = bbox.max_y = float(args.grid)
+    gc = pcr.GridConfig()
+    gc.bounds = bbox
+    gc.cell_size_x, gc.cell_size_y = 1.0, -1.0
+    gc.crs = pcr.CRS.from_epsg(3857)
+    gc.compute_dimensions()
+
+    rng = np.random.default_rng(11)
+    cloud = make_cloud(args.points, float(args.grid), rng)
+    specs = {
+        "point": pcr.ReductionSpec(value_channel="value",
+                                   type=pcr.ReductionType.Average),
+        "gauss": pcr.gaussian_splat_spec("value", default_sigma=2.0),
+        "line": pcr.line_splat_spec("value", default_half_length=4.0),
+    }
+
+    rows = []
+    for glyph in args.glyphs:
+        base = None
+        for d in ladder:
+            sp = 2 if d >= 4 else 1
+            dp = d // sp
+            wall = run_config(gc, cloud, specs[glyph], d, dp, sp,
+                              args.repeats)
+            mpts = args.points / wall / 1e6
+            if base is None:
+                base = wall
+            eff = base / (wall * d)
+            rows.append({"glyph": glyph, "devices": d, "dp": dp, "sp": sp,
+                         "wall_s": round(wall, 3),
+                         "mpts_per_s": round(mpts, 2),
+                         "speedup": round(base / wall, 2),
+                         "parallel_efficiency": round(eff, 2)})
+            print(f"{glyph:6s} d={d:2d} (dp={dp} sp={sp})  "
+                  f"wall {wall:7.3f}s  {mpts:7.2f} Mpts/s  "
+                  f"speedup {base / wall:5.2f}  eff {eff:4.2f}", flush=True)
+
+    if args.csv:
+        with open(args.csv, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,19 @@ def rect_col_tile(W: int) -> int:
     return min(int(os.environ.get("PCR_RECT_W_TILE", 128)), col_tile(W))
 
 
+def gauss_col_tile(W: int, rmax: int) -> int:
+    """Column tile for Gaussian splats, radius-adaptive: a footprint much
+    narrower than the tile wastes factor generation and MXU columns the
+    same way shallow line runs do (see rect_col_tile), so small radii take
+    the narrow tile; the extra column-halo duplication only pays once the
+    window approaches the tile width (measured on v5e at 5M points,
+    accumulate: sigma=1 86.6 -> 110.2, sigma=4 79.9 -> 88.1 Mpts/s at 128
+    vs 256; sigma=16's 97-cell window stays on the wide tile)."""
+    if 2 * rmax + 1 <= int(os.environ.get("PCR_GAUSS_NARROW_MAX", 32)):
+        return min(128, col_tile(W))
+    return col_tile(W)
+
+
 def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                               nsub: int, block: int, TH: int,
                               point_mode, with_f1: bool,

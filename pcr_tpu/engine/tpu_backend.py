@@ -1125,18 +1125,20 @@ class TpuEngine:
         if self.pallas != "off":
             # 2-D (row-block x col-block) bucketing: the kernel's factor
             # matmul then spans only (TH, CT) per sub-chunk.
-            from .pallas_kernels import col_tile, padded_width
+            from .pallas_kernels import gauss_col_tile, padded_width
             block = min(block, PALLAS_BLOCK)   # bounded by scoped VMEM
-            WT = col_tile(self.W)
+            rmax = max(int(r.max()) if n else 0, 0)
+            WT = gauss_col_tile(self.W, rmax)
             ncb = padded_width(self.W) // WT
             icx = gp.icx.astype(np.int64)
             cb0 = np.where(valid, np.clip((icx - r) // WT, 0, ncb - 1), 0)
             cb1 = np.where(valid, np.clip((icx + r) // WT, 0, ncb - 1), 0)
             buf, nsub, E = self._bucket_blocks_2d(blk0, blk1, cb0, cb1,
                                                   ncb, block, segs)
-            key = ("pallas_gauss2d", spec_idx, nsub, block, TH)
+            key = ("pallas_gauss2d", spec_idx, nsub, block, TH, WT)
             builder = self._pallas_builder(info, nsub, block, TH, False,
-                                           False, len(segs), E, two_d=True)
+                                           False, len(segs), E, two_d=True,
+                                           wt=WT)
             return [StagedChunk(key, self._put(buf), builder, n)]
         buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs)
         key = ("gauss_sorted", spec_idx, nsub, block, TH)

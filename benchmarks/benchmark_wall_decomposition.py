@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Decompose the device-staged ingest+finalize wall into its physical parts.
+
+VERDICT r2 weak #1: point_device wall is 0.158 s at 5M points while device
+accumulate alone runs at ~214 Mpts/s (0.023 s).  This bench measures, on the
+live accelerator link, each component that can contribute to the tail:
+
+  rtt_s           dispatch round-trip of a trivial jitted op + 1-elem fetch
+  d2h_4mb_s       one 4 MB (1000x1000 f32) device->host fetch
+  d2h_strips_s    4 MB fetched as K strips, async-initiated back-to-back
+  h2d_4mb_s       one 4 MB host->device put
+  accumulate_s    one 5M-point ingest dispatch, synced (amortized over K)
+  encode_s        LZW GeoTIFF encode of the 4 MB band on the host (native)
+  finalize_s      finalize_strips dispatch + all strips fetched
+  wall_s          composed pipeline ingest+finalize (best of R)
+
+Output: benchmark_results/wall_decomposition.json
+
+The reference's analogous tail is PCIe D2H at ~12 GB/s (0.3 ms for 4 MB)
+plus a 6-core host encode; docs/BENCHMARK_RESULTS.md:28-42.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("PCR_BENCH_N", 5_000_000))
+R = int(os.environ.get("PCR_BENCH_REPEATS", 5))
+
+
+def best(f, r=R):
+    b = float("inf")
+    for _ in range(r):
+        t0 = time.perf_counter()
+        f()
+        b = min(b, time.perf_counter() - t0)
+    return b
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import pcr_tpu as pcr
+
+    dev = next((d for d in jax.devices() if d.platform != "cpu"),
+               jax.devices()[0])
+    out = {"device": str(dev), "n_points": N}
+
+    # --- raw link characteristics ------------------------------------------------
+    one = jax.device_put(np.zeros((1,), np.float32), dev)
+    tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(tiny(one))  # compile
+    out["rtt_s"] = best(lambda: np.asarray(tiny(one)))
+
+    band_host = np.random.default_rng(0).random((1000, 1000)).astype(np.float32)
+    band_dev = jax.device_put(band_host, dev)
+    np.asarray(band_dev)
+    out["d2h_4mb_s"] = best(lambda: np.asarray(band_dev))
+
+    strips = [jax.device_put(band_host[a:a + 250], dev) for a in
+              range(0, 1000, 250)]
+    for s in strips:
+        np.asarray(s)
+
+    def fetch_strips():
+        for s in strips:
+            if hasattr(s, "copy_to_host_async"):
+                s.copy_to_host_async()
+        for s in strips:
+            np.asarray(s)
+    out["d2h_strips_s"] = best(fetch_strips)
+
+    out["h2d_4mb_s"] = best(
+        lambda: jax.device_put(band_host, dev).block_until_ready())
+
+    # --- host encode --------------------------------------------------------------
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="pcr_walldec_")
+    from pcr_tpu.io.geotiff import GeoTiffOptions, write_geotiff
+    bbox = pcr.BBox()
+    bbox.min_x, bbox.min_y, bbox.max_x, bbox.max_y = 0.0, 0.0, 1000.0, 1000.0
+    gc = pcr.GridConfig()
+    gc.bounds = bbox
+    gc.cell_size_x, gc.cell_size_y = 1.0, -1.0
+    gc.crs = pcr.CRS.from_epsg(3857)
+    gc.compute_dimensions()
+    grid = pcr.Grid.create(1000, 1000,
+                           [pcr.BandDesc(name="value_avg",
+                                         dtype=pcr.DataType.Float32,
+                                         is_state=False)],
+                           pcr.MemoryLocation.Host)
+    grid.set_band_array(0, band_host)
+    out["encode_lzw_s"] = best(lambda: write_geotiff(
+        os.path.join(tmp, "enc.tif"), grid, gc, GeoTiffOptions()))
+
+    # --- pipeline components ------------------------------------------------------
+    rng = np.random.default_rng(42)
+    cloud = pcr.PointCloud.create(N)
+    cloud.set_x_array(rng.uniform(0, 1000, N))
+    cloud.set_y_array(rng.uniform(0, 1000, N))
+    cloud.add_channel("value", pcr.DataType.Float32)
+    cloud.set_channel_array_f32("value",
+                                rng.uniform(0, 1, N).astype(np.float32))
+
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [pcr.ReductionSpec(value_channel="value",
+                                        type=pcr.ReductionType.Average)]
+    cfg.exec_mode = pcr.ExecutionMode.GPU
+    cfg.output_path = os.path.join(tmp, "out.tif")
+    pipe = pcr.Pipeline.create(cfg)
+    staged = pipe.stage(cloud)
+    pipe.ingest(staged)
+    pipe.finalize()
+
+    eng = pipe._engine
+
+    def sync():
+        eng.flush_pending()
+        st = eng._states[0][0]
+        head = st[:1, :1] if st.ndim == 2 else st[:1]
+        return float(np.asarray(head).ravel()[0])
+
+    K = 5
+    bacc = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            pipe.ingest(staged)
+        sync()
+        bacc = min(bacc, (time.perf_counter() - t0) / K)
+    out["accumulate_s"] = bacc
+
+    def run_finalize():
+        strips_d = eng.finalize_strips(0, 256)
+        for (_, _, s) in strips_d:
+            np.asarray(s)
+    out["finalize_fetch_s"] = best(run_finalize)
+
+    def wall():
+        pipe.ingest(staged)
+        pipe.finalize()
+    out["wall_s"] = best(wall)
+
+    out["mpts_per_s_wall"] = round(N / out["wall_s"] / 1e6, 2)
+    floor = out["accumulate_s"] + out["d2h_strips_s"] + out["rtt_s"]
+    out["floor_estimate_s"] = round(floor, 4)
+    out["floor_mpts_per_s"] = round(N / floor / 1e6, 2)
+    out["tail_unexplained_s"] = round(
+        out["wall_s"] - floor - 0.0, 4)
+    for k, v in out.items():
+        if isinstance(v, float):
+            out[k] = round(v, 5)
+    os.makedirs("benchmark_results", exist_ok=True)
+    path = os.path.join("benchmark_results", "wall_decomposition.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

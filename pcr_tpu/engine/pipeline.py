@@ -373,20 +373,27 @@ class Pipeline:
                 # order statistics keep the raw stream, not K-float tile
                 # state; PCRT checkpointing does not apply
                 continue
-            d = self._state_dir_for(i)
-            os.makedirs(d, exist_ok=True)
             fields = (self._host_state[i] if self._backend == "cpu"
                       else self._engine.fetch_state(i))
-            # only tiles with state are flushed (tile_manager.cpp:416-426)
-            for (trow, tcol) in sorted(self._touched_tiles):
-                tile = TileIndex(row=trow, col=tcol)
-                cs, rs, cc, rc = cfg.tile_cell_range(tile)
-                body = np.stack([f[rs:rs + rc, cs:cs + cc] for f in fields])
-                st = tile_state_io.write_tile_state(
-                    tile_state_io.tile_state_filename(d, tile),
-                    tile, cc, rc, info.state_floats, spec.type, body)
-                if not st.ok():
-                    raise PcrError(st)
+            self._write_state_tiles(i, fields)
+
+    def _write_state_tiles(self, i, fields):
+        """Write touched tiles' PCRT files from host (H, W) state fields
+        (flush_all, tile_manager.cpp:416-426)."""
+        cfg = self.config.grid
+        spec, info = self._plans[i]
+        d = self._state_dir_for(i)
+        os.makedirs(d, exist_ok=True)
+        # only tiles with state are flushed (tile_manager.cpp:416-426)
+        for (trow, tcol) in sorted(self._touched_tiles):
+            tile = TileIndex(row=trow, col=tcol)
+            cs, rs, cc, rc = cfg.tile_cell_range(tile)
+            body = np.stack([f[rs:rs + rc, cs:cs + cc] for f in fields])
+            st = tile_state_io.write_tile_state(
+                tile_state_io.tile_state_filename(d, tile),
+                tile, cc, rc, info.state_floats, spec.type, body)
+            if not st.ok():
+                raise PcrError(st)
 
     # -- validation -------------------------------------------------------------
 
@@ -790,12 +797,29 @@ class Pipeline:
     def finalize(self) -> None:
         """Flush tile state, assemble the result Grid, write GeoTIFF output
         (reference: pipeline.cpp:1154-1363)."""
-        if (self._backend == "jax" and not self.config.state_dir
-                and not self._tiled
-                and hasattr(self._engine, "finalize_strips")):
-            # Streamed finalize: pending updates + finalize + strip split
-            # ride one dispatch; strip D2H overlaps tile encoding.
-            return self._finalize_streamed()
+        if (self._backend == "jax"
+                and hasattr(self._engine, "finalize_packed_async")):
+            # Accelerator finalize is transfer-engineered for a
+            # high-latency link: every D2H fetch pays a round trip, so
+            # small grids ride ONE fused dispatch + ONE transfer
+            # (_finalize_packed) and large grids stream row strips with
+            # transfer/encode/checkpoint overlap (_finalize_streamed).
+            # With state_dir set, only the raw state planes cross the
+            # wire and the band is finalized host-side from the same
+            # bytes that become the PCRT checkpoint.
+            cfg = self.config.grid
+            need_state = bool(self.config.state_dir)
+            pack_max = int(os.environ.get("PCR_PACK_MAX_BYTES",
+                                          str(8 << 20)))
+            worst = 0
+            for spec, info in self._plans:
+                if info.scatter_kind == "collect":
+                    continue
+                planes = info.state_floats if need_state else 1
+                worst = max(worst, planes * cfg.height * cfg.width * 4)
+            if worst <= pack_max:
+                return self._finalize_packed(need_state)
+            return self._finalize_streamed(need_state)
         if self._engine is not None:
             self._engine.block_until_ready()
         if self.config.state_dir or self._tiled:
@@ -914,11 +938,98 @@ class Pipeline:
                 if a < b:
                     band[a:b, cs:cs + cc] = host[a - r0:b - r0, cs:cs + cc]
 
-    def _finalize_streamed(self) -> None:
-        """Accelerator finalize with transfer/encode overlap: one fused
-        dispatch per reduction (pending updates + finalize + strip split),
-        then the main thread fetches strip k while a writer thread LZW-
-        encodes strip k-1 into the GeoTIFF."""
+    def _collect_band(self, i, spec):
+        """Assemble an order-statistics (Median/Percentile) band from the
+        collected (cell, value) stream."""
+        from ..ops.reduction import compute_percentile_band
+        cfg = self.config.grid
+        pairs = self._collect.get(i, [])
+        cells = (np.concatenate([p[0] for p in pairs])
+                 if pairs else np.zeros(0, np.int64))
+        vals = (np.concatenate([p[1] for p in pairs])
+                if pairs else np.zeros(0, np.float32))
+        q = (0.5 if ReductionType(spec.type) == ReductionType.Median
+             else float(spec.percentile))
+        return compute_percentile_band(
+            cells, vals, (cfg.height, cfg.width), q)
+
+    def _geotiff_opts(self):
+        from .. import native
+        from ..io.geotiff import GeoTiffOptions
+        # LZW default like the reference (GeoTiffOptions/grid_io.h); the
+        # native C++ codec keeps it fast. Without a compiler, fall back
+        # to zlib level 1 (the pure-Python LZW is too slow for the
+        # pipeline hot path).
+        if native.available():
+            return GeoTiffOptions(cloud_optimized=self.config.write_cog)
+        return GeoTiffOptions(cloud_optimized=self.config.write_cog,
+                              compress="DEFLATE", compress_level=1)
+
+    def _finalize_packed(self, need_state: bool) -> None:
+        """Small-grid accelerator finalize: per reduction, ONE fused
+        dispatch (pending updates + finalize) whose result crosses the
+        wire in ONE transfer.  With `need_state` the transfer carries the
+        raw state planes — the PCRT checkpoint is written from them and
+        the band is host-finalized, so checkpointing costs no extra
+        round trip (the reference's flush_all + assemble single pass,
+        pipeline.cpp:1154-1363)."""
+        cfg = self.config.grid
+        eng = self._engine
+        names = self._band_names()
+        grid = Grid.create(cfg.width, cfg.height,
+                           [BandDesc(name=n, dtype=DataType.Float32,
+                                     is_state=False) for n in names],
+                           MemoryLocation.Host)
+        packed_dev = {}
+        for i, (spec, info) in enumerate(self._plans):
+            if info.scatter_kind != "collect":
+                packed_dev[i] = eng.finalize_packed_async(i, need_state)
+        all_touched = (len(self._touched_tiles)
+                       == cfg.tiles_x * cfg.tiles_y)
+        for i, (spec, info) in enumerate(self._plans):
+            if info.scatter_kind == "collect":
+                grid.set_band_array(i, self._collect_band(i, spec),
+                                    copy=False)
+                continue
+            host = np.asarray(packed_dev[i])
+            if need_state:
+                fields = [host[k] for k in range(info.state_floats)]
+                self._write_state_tiles(i, fields)
+                full = np.asarray(info.finalize_arrays(fields),
+                                  dtype=np.float32)
+                if any(full is f for f in fields):
+                    full = full.copy()   # Sum finalize returns state itself
+            else:
+                full = host[0]
+            if all_touched:
+                band = np.ascontiguousarray(full, dtype=np.float32)
+            else:
+                band = np.full((cfg.height, cfg.width), np.nan,
+                               dtype=np.float32)
+                for (trow, tcol) in self._touched_tiles:
+                    cs, rs, cc, rc = cfg.tile_cell_range(
+                        TileIndex(row=trow, col=tcol))
+                    band[rs:rs + rc, cs:cs + cc] = full[rs:rs + rc,
+                                                        cs:cs + cc]
+            grid.set_band_array(i, band, copy=False)
+        self._result = grid
+        self._finalized = True
+        if self.config.output_path:
+            from ..io.geotiff import write_geotiff
+            st = write_geotiff(self.config.output_path, grid, cfg,
+                               self._geotiff_opts())
+            if not st.ok():
+                raise PcrError(st)
+
+    def _finalize_streamed(self, need_state: bool = False) -> None:
+        """Large-grid accelerator finalize with transfer/encode/checkpoint
+        overlap: one fused dispatch per reduction (pending updates +
+        finalize + strip split), then the main thread fetches strip k
+        while a writer thread LZW-encodes strip k-1 into the GeoTIFF
+        (and, with `need_state`, writes the PCRT checkpoint from the
+        same strips).  Strip height adapts to the link: ~2 MB per fetch
+        amortizes the per-transfer overhead while still overlapping the
+        encode."""
         from concurrent.futures import ThreadPoolExecutor
 
         cfg = self.config.grid
@@ -929,28 +1040,32 @@ class Pipeline:
                                      is_state=False) for n in names],
                            MemoryLocation.Host)
         writer = None
-        opts = None
         if self.config.output_path:
-            from .. import native
-            from ..io.geotiff import GeoTiffOptions, StreamingGeoTiffWriter
-            if native.available():
-                opts = GeoTiffOptions(cloud_optimized=self.config.write_cog)
-            else:
-                opts = GeoTiffOptions(cloud_optimized=self.config.write_cog,
-                                      compress="DEFLATE", compress_level=1)
+            from ..io.geotiff import StreamingGeoTiffWriter
             writer = StreamingGeoTiffWriter(self.config.output_path, cfg,
-                                            names, opts)
-        th = opts.tile_height if opts else 256
+                                            names, self._geotiff_opts())
+        target = int(os.environ.get("PCR_STRIP_TARGET_BYTES",
+                                    str(2 << 20)))
 
         # Dispatch every reduction's fused update+finalize program first;
         # the device queues them while the host streams results out.
         strips_per_spec = {}
+        rows_per_spec = {}
         for i, (spec, info) in enumerate(self._plans):
-            if info.scatter_kind != "collect":
-                strips_per_spec[i] = eng.finalize_strips(i, th)
+            if info.scatter_kind == "collect":
+                continue
+            nplanes = info.state_floats if need_state else 1
+            row_bytes = cfg.width * 4 * nplanes
+            rows = max(1, target // row_bytes)
+            if writer is not None and rows >= cfg.height > 1:
+                # keep >=2 strips so the tail encode overlaps a transfer
+                rows = (cfg.height + 1) // 2
+            rows_per_spec[i] = min(rows, cfg.height)
+            strips_per_spec[i] = eng.finalize_strips(
+                i, rows_per_spec[i], with_state=need_state)
 
         # when every tile is touched the NaN prefill is fully overwritten
-        # by _mask_strip — skip the extra 4 MB pass on the 1-core host
+        # by _mask_strip — skip the extra full-band pass on the host
         all_touched = (len(self._touched_tiles)
                        == cfg.tiles_x * cfg.tiles_y)
         ex = ThreadPoolExecutor(max_workers=1)
@@ -958,35 +1073,41 @@ class Pipeline:
         bands = []
         try:
             for i, (spec, info) in enumerate(self._plans):
-                if all_touched and self._plans[i][1].scatter_kind != "collect":
-                    band = np.empty((cfg.height, cfg.width),
-                                    dtype=np.float32)
-                else:
-                    band = np.full((cfg.height, cfg.width), np.nan,
-                                   dtype=np.float32)
                 if info.scatter_kind == "collect":
-                    from ..ops.reduction import compute_percentile_band
-                    pairs = self._collect.get(i, [])
-                    cells = (np.concatenate([p[0] for p in pairs])
-                             if pairs else np.zeros(0, np.int64))
-                    vals = (np.concatenate([p[1] for p in pairs])
-                            if pairs else np.zeros(0, np.float32))
-                    q = (0.5 if ReductionType(spec.type)
-                         == ReductionType.Median else float(spec.percentile))
-                    band = compute_percentile_band(
-                        cells, vals, (cfg.height, cfg.width), q)
+                    band = self._collect_band(i, spec)
                     if writer is not None:
                         futures.append(ex.submit(writer.write_rows, band))
                         futures.append(ex.submit(writer.end_band))
-                else:
-                    for (r0, r1, dev) in strips_per_spec[i]:
-                        host = np.asarray(dev)
-                        self._mask_strip(band, host, r0, r1)
-                        if writer is not None:
-                            futures.append(ex.submit(writer.write_rows,
-                                                     band[r0:r1]))
+                    grid.set_band_array(i, band, copy=False)
+                    bands.append(band)
+                    continue
+                band = (np.empty((cfg.height, cfg.width), dtype=np.float32)
+                        if all_touched else
+                        np.full((cfg.height, cfg.width), np.nan,
+                                dtype=np.float32))
+                fields = ([np.empty((cfg.height, cfg.width), np.float32)
+                           for _ in range(info.state_floats)]
+                          if need_state else None)
+                for (r0, r1, dev) in strips_per_spec[i]:
+                    host = np.asarray(dev)
+                    if need_state:
+                        for k in range(info.state_floats):
+                            fields[k][r0:r1] = host[k]
+                        fin = np.asarray(
+                            info.finalize_arrays([host[k] for k in
+                                                  range(info.state_floats)]),
+                            dtype=np.float32)
+                    else:
+                        fin = host
+                    self._mask_strip(band, fin, r0, r1)
                     if writer is not None:
-                        futures.append(ex.submit(writer.end_band))
+                        futures.append(ex.submit(writer.write_rows,
+                                                 band[r0:r1]))
+                if writer is not None:
+                    futures.append(ex.submit(writer.end_band))
+                if need_state:
+                    futures.append(ex.submit(self._write_state_tiles,
+                                             i, fields))
                 grid.set_band_array(i, band, copy=False)
                 bands.append(band)
             for f in futures:
@@ -1026,12 +1147,24 @@ class Pipeline:
         if self._backend != "jax":
             return
         import copy
+        import tempfile
         cfg = copy.copy(self.config)
         cfg.output_path = ""
-        cfg.state_dir = ""
+        # keep the state_dir/no-state_dir finalize variant identical so the
+        # warmed program keys match the real run's
+        cfg.state_dir = (tempfile.mkdtemp(prefix="pcr_warm_state_")
+                         if self.config.state_dir else "")
         cfg.resume = False
         cfg.filter = type(self.config.filter)()
         shadow = Pipeline.create(cfg)
+        # Share the compiled-program cache: the shadow engine has identical
+        # grid/plans, so every program it compiles is directly reusable by
+        # this pipeline's engine (otherwise the first real finalize pays
+        # the multi-second trace+compile the warmup was meant to absorb).
+        if (hasattr(shadow._engine, "_jits")
+                and hasattr(self._engine, "_jits")
+                and type(shadow._engine) is type(self._engine)):
+            shadow._engine._jits = self._engine._jits
         n = max(int(chunk_points), 2)
         rng = np.random.default_rng(0)
         b = self.config.grid.bounds

@@ -1257,12 +1257,21 @@ class TpuEngine:
             self._states[i] = fn(self._states[i],
                                  *(c.buf for c in staged))
 
-    def finalize_strips(self, spec_idx: int, strip_rows: int = 256):
-        """Apply pending updates, finalize, slice the output band into
-        row strips, and start async D2H for every strip — ALL in one
+    def finalize_strips(self, spec_idx: int, strip_rows: int = 256,
+                        with_state: bool = False):
+        """Apply pending updates, finalize, slice the output into row
+        strips, and start async D2H for every strip — ALL in one
         dispatch. Returns [(row0, row1, device_strip), ...]; the caller
         fetches strips in order (np.asarray) while later strips are still
-        in flight, overlapping transfer with host-side encoding."""
+        in flight, overlapping transfer with host-side encoding.
+
+        Without `with_state` each strip is the finalized band, shape
+        (rows, W).  With `with_state` each strip is the raw state fields
+        stacked as (K, rows, W) — the caller host-finalizes (cheap) and
+        can also write PCRT checkpoints from the same bytes, so a
+        checkpointing finalize pays K planes on the wire instead of K+1
+        (reference flush_all+assemble is one pass too, pipeline.cpp:
+        1154-1363)."""
         import jax
         _, info = self.plans[spec_idx]
         staged = self._pending[spec_idx]
@@ -1271,9 +1280,10 @@ class TpuEngine:
         ranges = [(a, min(a + strip_rows, H))
                   for a in range(0, H, strip_rows)]
         key = ("finstrips", spec_idx, tuple(c.key for c in staged),
-               strip_rows)
+               strip_rows, with_state)
         fn = self._jits.get(key)
         if fn is None:
+            import jax.numpy as jnp
             fns = tuple(c.builder() for c in staged)
             grid_shaped = self._grid_shaped[spec_idx]
             C = self.C
@@ -1281,6 +1291,11 @@ class TpuEngine:
             def combined(states, *bufs):
                 for f, b in zip(fns, bufs):
                     states = f(states, b)
+                if with_state:
+                    planes = jnp.stack(
+                        [(s[:H, :W] if grid_shaped
+                          else s[:C].reshape(H, W)) for s in states])
+                    return states, tuple(planes[:, a:b] for a, b in ranges)
                 band = info.finalize_arrays(list(states))
                 band = (band[:H, :W] if grid_shaped
                         else band[:C].reshape(H, W))
@@ -1295,6 +1310,50 @@ class TpuEngine:
             if hasattr(s, "copy_to_host_async"):
                 s.copy_to_host_async()
         return [(a, b, s) for (a, b), s in zip(ranges, strips)]
+
+    def finalize_packed_async(self, spec_idx: int, with_state: bool = False):
+        """One fused dispatch: pending updates + finalize, returning a
+        single stacked device array whose D2H is already initiated.
+
+        Shape (1, H, W) = just the band, or (K, H, W) = the raw state
+        fields when `with_state` (the caller host-finalizes — one plane
+        fewer on the wire).  On a high-latency link one transfer beats
+        per-field fetches: every fetch pays the round-trip, so
+        block_until_ready + per-field fetch_state + finalize_band was
+        ~4-5 RTTs where this is one."""
+        import jax
+        import jax.numpy as jnp
+        _, info = self.plans[spec_idx]
+        staged = self._pending[spec_idx]
+        self._pending[spec_idx] = []
+        H, W = self.H, self.W
+        key = ("finpack", spec_idx, tuple(c.key for c in staged), with_state)
+        fn = self._jits.get(key)
+        if fn is None:
+            fns = tuple(c.builder() for c in staged)
+            grid_shaped = self._grid_shaped[spec_idx]
+            C = self.C
+
+            def combined(states, *bufs):
+                for f, b in zip(fns, bufs):
+                    states = f(states, b)
+                if with_state:
+                    planes = [(s[:H, :W] if grid_shaped
+                               else s[:C].reshape(H, W)) for s in states]
+                else:
+                    band = info.finalize_arrays(list(states))
+                    planes = [band[:H, :W] if grid_shaped
+                              else band[:C].reshape(H, W)]
+                return states, jnp.stack(planes)
+
+            fn = jax.jit(combined, donate_argnums=(0,))
+            self._jits[key] = fn
+        states, packed = fn(self._states[spec_idx],
+                            *(c.buf for c in staged))
+        self._states[spec_idx] = states
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
+        return packed
 
     # -- one-shot ingest ---------------------------------------------------------
 

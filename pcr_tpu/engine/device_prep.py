@@ -1,0 +1,372 @@
+"""Device-side glyph expansion for host-sourced (Hybrid) ingest.
+
+The staged glyph path lays entries out row-block/col-block-contiguously on
+the HOST (tpu_backend._bucket_blocks_2d) — fine when staging is untimed,
+ruinous when the cloud arrives over a thin host link inside the timed
+window: the 8-10 segment layout costs 32-64 B/point on the wire plus
+seconds of 1-core host bucketing per chunk (the round-2 Hybrid glyph
+collapse, 0.10-0.66 Mpts/s).
+
+This module moves the whole expansion onto the device. The host ships a
+minimal wire record per point —
+
+    [cell i32 | sub_q i32 | value f32]  (+ per-point sigma/shape channels
+                                           only when actually set)
+
+12 B/point — and the jitted update program decodes it, computes the glyph
+footprint, duplicates entries across the (row-block x col-block) tiles
+they touch (static kmax expansion), groups them with one lax.sort, scatters
+them into the sorted-splat layout, and runs the SAME fused Pallas kernel
+as the staged path (pallas_kernels.build_sorted_splat_pallas).
+
+Sub-cell offsets ride the wire as u16 fixed point (quantization 7.6e-6 of
+a cell). The resulting raster differs from the exact staged/CPU path by
+O(1e-5) relative — inside the reference's own CPU<->GPU comparison bar of
+1e-4 (scripts/patterns/compare_cpu_gpu_patterns.py:28-41). Line glyphs
+ship exact integer endpoints, so their hybrid path stays bit-exact.
+
+A bonus of device-side layout: the sub-chunk count nsub becomes a static
+function of (bucket, kmax) instead of data-dependent, so hybrid chunks
+stop minting new jit keys (the round-2 per-chunk recompile suspect).
+
+Reference semantics mirrored: glyph_kernels.cu:101-176 (Gaussian window
+accumulate), pipeline.cpp:785-1152 (Hybrid producer/consumer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.types import ReductionType
+from ..ops.reduction import ReductionInfo
+
+__all__ = ["device_layout_2d", "gaussian_wire_builder", "line_wire_builder",
+           "pack_u16_pair", "SUB_Q"]
+
+SUB_Q = 65535.0   # u16 fixed-point scale for sub-cell offsets
+
+
+def pack_u16_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Host-side: pack two [0, 65535] integer arrays into one int32."""
+    return ((a.astype(np.int64) << 16) | b.astype(np.int64)).astype(np.int32)
+
+
+def device_layout_2d(eb, pidx, seg_srcs, fills, nblocks, block, nsub_pad):
+    """Group entries by block id and place them into the sorted-splat
+    layout — all on device.
+
+    eb:       (E0,) int32 entry block ids; dead entries carry nblocks.
+    pidx:     (E0,) int32 source index of each entry (gathers seg values).
+    seg_srcs: list of (N,) int32 arrays (f32 segments bit-cast by caller).
+    fills:    list of int32 fill words (dead-entry encodings per segment).
+    Returns (params_2d (nsub_pad, nseg*block) int32, bids (nsub_pad,) int32)
+    matching the pallas_kernels layout contract.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    E0 = eb.shape[0]
+    nseg = len(seg_srcs)
+    eb_s, pidx_s = lax.sort_key_val(eb, pidx)
+    # first sorted index of each block (searchsorted over the sorted keys)
+    bounds = jnp.searchsorted(eb_s, jnp.arange(nblocks + 1,
+                                               dtype=jnp.int32))
+    counts = bounds[1:] - bounds[:-1]
+    # visit_all: every block gets >= 1 sub-chunk so every state block is
+    # defined without in/out aliasing (pallas_kernels layout contract)
+    subs = jnp.maximum((counts + block - 1) // block, 1)
+    sub_start = jnp.concatenate(
+        [jnp.zeros(1, subs.dtype), jnp.cumsum(subs)])
+    ebc = jnp.minimum(eb_s, nblocks - 1)
+    pos = jnp.arange(E0, dtype=bounds.dtype) - bounds[ebc]
+    slot = sub_start[ebc] * block + pos
+    # dead entries (eb == nblocks) sort to the end; route them out of
+    # bounds so the scatter drops them and the prefilled dead encodings
+    # stay in place
+    slot = jnp.where(eb_s < nblocks, slot, nsub_pad * block)
+    mat = jnp.stack([s[pidx_s] for s in seg_srcs], axis=1)   # (E0, nseg)
+    base = jnp.broadcast_to(
+        jnp.asarray(fills, dtype=jnp.int32)[None, :],
+        (nsub_pad * block, nseg))
+    laid = base.at[slot].set(mat, mode="drop",
+                             indices_are_sorted=True, unique_indices=True)
+    params_2d = (laid.reshape(nsub_pad, block, nseg)
+                 .transpose(0, 2, 1).reshape(nsub_pad, nseg * block))
+    s_idx = jnp.arange(nsub_pad, dtype=sub_start.dtype)
+    bids = jnp.clip(
+        jnp.searchsorted(sub_start[1:], s_idx, side="right"),
+        0, nblocks - 1).astype(jnp.int32)
+    return params_2d, bids
+
+
+def _halo_expand(icx, icy, r, live_p, TH, WT, nrb, ncb, kmax):
+    """Static kmax-entry halo expansion: entry j of point p targets block
+    (rb0+j//kc, cb0+j%kc); entries beyond kr*kc (or dead points) get the
+    sentinel block id nblocks."""
+    import jax.numpy as jnp
+
+    B = icx.shape[0]
+    nblocks = nrb * ncb
+    rb0 = jnp.clip((icy - r) // TH, 0, nrb - 1)
+    rb1 = jnp.clip((icy + r) // TH, 0, nrb - 1)
+    cb0 = jnp.clip((icx - r) // WT, 0, ncb - 1)
+    cb1 = jnp.clip((icx + r) // WT, 0, ncb - 1)
+    kr = rb1 - rb0 + 1
+    kc = cb1 - cb0 + 1
+    jj = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+    jr = jj // kc[:, None]
+    jc = jj % kc[:, None]
+    live_e = live_p[:, None] & (jj < (kr * kc)[:, None])
+    eb = jnp.where(live_e,
+                   (rb0[:, None] + jr) * ncb + (cb0[:, None] + jc),
+                   nblocks).reshape(-1).astype(jnp.int32)
+    pidx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, kmax)).reshape(-1)
+    return eb, pidx
+
+
+def _unpack16(v):
+    """Split an int32 into its (high, low) int16 halves, sign-extended."""
+    return (v >> 16), ((v << 16) >> 16)
+
+
+def _decode_wire(buf, B, nextra):
+    """Split the packed wire buffer [icxy | subq | value | extras...] into
+    icx / icy / live / sub_cx / sub_cy / value (+ extra f32 planes).
+    icxy packs (icx, icy) as sign-extended i16s; icx == -32768 marks a
+    dead (invalid or ladder-padding) point."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    icx, icy = _unpack16(buf[:B])
+    live = icx != -32768
+    subq = buf[B:2 * B]
+    val = lax.bitcast_convert_type(buf[2 * B:3 * B], jnp.float32)
+    extras = [lax.bitcast_convert_type(buf[(3 + k) * B:(4 + k) * B],
+                                       jnp.float32)
+              for k in range(nextra)]
+    sub_cx = ((subq >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / SUB_Q)
+    sub_cy = (subq & 0xFFFF).astype(jnp.float32) * (1.0 / SUB_Q)
+    return icx, icy, live, sub_cx, sub_cy, val, extras
+
+
+def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
+                          TH: int, WT: int, nsub_pad: int, block: int,
+                          h_pad: int, scal: dict, nsig: int,
+                          rot: bool, interpret: bool):
+    """Zero-arg builder for the hybrid Gaussian update: decode the wire
+    buffer, expand/bucket on device, run the fused Pallas splat.
+
+    scal: compile-time scalars — max_radius, plus (when nsig == 0, the
+    uniform-shape case) the cell-unit sigma_x/sigma_y and rotation every
+    point shares, baked into the program.  nsig == 2 ships per-point
+    cell-unit sx/sy as two extra wire planes.
+    """
+    W, H = cfg.width, cfg.height
+    from .pallas_kernels import padded_width
+    ncb = padded_width(W) // WT
+    nrb = h_pad // TH
+    rtype = ReductionType(info.type)
+
+    def build():
+        import jax.numpy as jnp
+        from jax import lax
+
+        from .pallas_kernels import build_sorted_splat_pallas
+        upd = build_sorted_splat_pallas(
+            info, cfg, nsub_pad, block, TH, "rot" if rot else False,
+            False, interpret, two_d=True, wt=WT, h_pad=h_pad)
+        i32 = lambda a: lax.bitcast_convert_type(a, jnp.int32)
+        f32b = lambda v: np.float32(v).view(np.int32).item()
+
+        def fn(states, buf):
+            icx, icy, live_p, sub_cx, sub_cy, val, extras = _decode_wire(
+                buf, B, nsig)
+            if nsig:
+                sx, sy = extras[0], extras[1]
+            else:
+                sx = jnp.full(B, np.float32(scal["sx"]))
+                sy = jnp.full(B, np.float32(scal["sy"]))
+            R = jnp.minimum(np.float32(3.0) * jnp.maximum(sx, sy),
+                            np.float32(scal["max_radius"]))
+            r = jnp.ceil(R).astype(jnp.int32)
+            eb, pidx = _halo_expand(icx, icy, r, live_p, TH, WT,
+                                    nrb, ncb, kmax)
+            f0 = (jnp.ones(B, jnp.float32)
+                  if rtype == ReductionType.Count else val)
+            if rot:
+                # completed-square fold, mirroring the staged host path
+                # (tpu_backend.prepare_gaussian rot branch; algebra of
+                # glyph_kernels.cu:145-176)
+                cos_r = jnp.full(B, np.float32(scal["cos_rot"]))
+                sin_r = jnp.full(B, np.float32(scal["sin_rot"]))
+                inv_sx = np.float32(0.7071067811865476) / sx
+                inv_sy = np.float32(0.7071067811865476) / sy
+                c1 = cos_r * inv_sx
+                c2 = -sin_r * inv_sx
+                c3 = sin_r * inv_sy
+                c4 = cos_r * inv_sy
+                A = c1 * c1 + c3 * c3
+                Bq = c1 * c2 + c3 * c4
+                C = c2 * c2 + c4 * c4
+                icx_f = icx.astype(jnp.float32)
+                icy_f = icy.astype(jnp.float32)
+                s_l2e = np.float32(1.2011224087864498)
+                segs = [i32(-(icx_f + sub_cx)), i32(-(icy_f + sub_cy)),
+                        i32(Bq / C), i32(jnp.sqrt(C) * s_l2e),
+                        i32(jnp.sqrt(jnp.maximum(A - Bq * Bq / C, 0.0))
+                            * s_l2e),
+                        i32(f0), i32(icx_f), i32(icy_f),
+                        i32(r.astype(jnp.float32))]
+                fills = [0, 0, 0, 0, 0, 0, 0, 0, f32b(-1.0)]
+            else:
+                segs = [icx, icy, i32(sub_cx), i32(sub_cy),
+                        i32(sx), i32(sy), r, i32(f0)]
+                fills = [0, 0, 0, 0, f32b(1.0), f32b(1.0), -1, 0]
+            params_2d, bids = device_layout_2d(
+                eb, pidx, segs, fills, nrb * ncb, block, nsub_pad)
+            return upd(states, params_2d, bids)
+
+        return fn
+
+    return build
+
+
+def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
+                      rmax_entries: int, TH: int, WT: int, nsub_pad: int,
+                      block: int, h_pad: int, interpret: bool,
+                      multi_tile: bool):
+    """Zero-arg builder for the hybrid Line update.
+
+    Wire record: [cell i32 | end0 i32 (ix0,iy0 as i16 pair) | end1 i32 |
+    value f32] — exact integer endpoints, so hybrid lines are bit-exact
+    vs the staged path.  On device: decode endpoints, rebuild the closed-
+    form Bresenham staircase runs (routing.line_rects math), expand each
+    run over the (<=2) blocks it touches, lay out, and run the rect-mode
+    Pallas splat.
+
+    Run enumeration uses the starts-cumsum trick: entry t maps to
+    (line, j) via searchsorted over the device-computed cumsum of per-
+    line run counts — so the entry budget scales with the REAL run count
+    (host-measured, ladder-bucketed into rmax_entries), not a worst-case
+    per-point bound.
+    """
+    W, H = cfg.width, cfg.height
+    from .pallas_kernels import padded_width
+    ncb = padded_width(W) // WT
+    nrb = h_pad // TH
+    nblocks = nrb * ncb
+    rtype = ReductionType(info.type)
+    tw, th_tile = cfg.tile_width, cfg.tile_height
+
+    def build():
+        import jax.numpy as jnp
+        from jax import lax
+
+        from .pallas_kernels import build_sorted_splat_pallas
+        upd = build_sorted_splat_pallas(
+            info, cfg, nsub_pad, block, TH, "rect", False, interpret,
+            two_d=True, wt=WT, h_pad=h_pad)
+        i32 = lambda a: lax.bitcast_convert_type(a, jnp.int32)
+
+        def fn(states, buf):
+            # wire layout: [ctr? | e0 | e1 | value]; ctr (home-tile
+            # center, i16 pair) only rides on multi-tile grids. iy0 ==
+            # -32768 marks a dead (invalid / ladder-padding) line.
+            off = B if multi_tile else 0
+            e0 = buf[off:off + B]
+            e1 = buf[off + B:off + 2 * B]
+            val = lax.bitcast_convert_type(buf[off + 2 * B:off + 3 * B],
+                                           jnp.float32)
+            ix0, iy0 = _unpack16(e0)
+            ix1, iy1 = _unpack16(e1)
+            live_l = iy0 != -32768
+            ddx = jnp.abs(ix1 - ix0)
+            ddy = jnp.abs(iy1 - iy0)
+            sx = jnp.where(ix0 < ix1, 1, -1)
+            sy = jnp.where(iy0 < iy1, 1, -1)
+            xmaj = ddx >= ddy
+            dmaj = jnp.where(xmaj, ddx, ddy)
+            dmin = jnp.where(xmaj, ddy, ddx)
+            nruns = jnp.where(live_l, dmin + 1, 0)
+            starts = jnp.concatenate(
+                [jnp.zeros(1, nruns.dtype), jnp.cumsum(nruns)])
+            # entry t -> (line, j): line = last index with starts <= t
+            t = jnp.arange(rmax_entries, dtype=jnp.int32)
+            line = (jnp.searchsorted(starts[1:], t, side="right")
+                    .astype(jnp.int32))
+            linec = jnp.minimum(line, B - 1)
+            j = t - starts[linec]
+            live_r = t < starts[-1]
+            o = lambda a: a[linec]
+            o_dmaj, o_dmin = o(dmaj), o(dmin)
+            safe_dmin = jnp.maximum(o_dmin, 1)
+            # staircase run j covers major steps [k0(j), k0(j+1)-1]
+            # (routing._staircase_starts closed form)
+            k0 = jnp.where(j > 0,
+                           (o_dmaj * (2 * j - 1)) // (2 * safe_dmin) + 1, 0)
+            k1 = jnp.where(j < o_dmin,
+                           (o_dmaj * (2 * j + 1)) // (2 * safe_dmin),
+                           o_dmaj)
+            o_xmaj = o(xmaj)
+            maj0 = jnp.where(o_xmaj, o(ix0), o(iy0))
+            smaj = jnp.where(o_xmaj, o(sx), o(sy))
+            p0 = maj0 + smaj * k0
+            p1 = maj0 + smaj * k1
+            lo = jnp.minimum(p0, p1)
+            hi = jnp.maximum(p0, p1)
+            min0 = jnp.where(o_xmaj, o(iy0), o(ix0))
+            smin = jnp.where(o_xmaj, o(sy), o(sx))
+            minor = min0 + smin * j
+            ax = jnp.where(o_xmaj, lo, minor)
+            bx = jnp.where(o_xmaj, hi, minor)
+            ay = jnp.where(o_xmaj, minor, lo)
+            by = jnp.where(o_xmaj, minor, hi)
+            # clip to grid and the owner's home tile
+            # (routing.line_rects / home_tile_ranges semantics)
+            if multi_tile:
+                ocol, orow = _unpack16(buf[:B])
+                ocol, orow = o(ocol), o(orow)
+                cs = (ocol // tw) * tw
+                ce = jnp.minimum(cs + tw, W)
+                rs = (orow // th_tile) * th_tile
+                re = jnp.minimum(rs + th_tile, H)
+            else:
+                cs = jnp.zeros_like(ax)
+                ce = jnp.full_like(ax, W)
+                rs = jnp.zeros_like(ay)
+                re = jnp.full_like(ay, H)
+            ax = jnp.maximum(ax, cs)
+            bx = jnp.minimum(bx, ce - 1)
+            ay = jnp.maximum(ay, rs)
+            by = jnp.minimum(by, re - 1)
+            live_r = live_r & (ax <= bx) & (ay <= by)
+            # rect -> block halo (runs are 1 cell thick: <= 2 blocks on
+            # the major axis for any run shorter than a tile)
+            rb0 = jnp.clip(ay // TH, 0, nrb - 1)
+            rb1 = jnp.clip(by // TH, 0, nrb - 1)
+            cb0 = jnp.clip(ax // WT, 0, ncb - 1)
+            cb1 = jnp.clip(bx // WT, 0, ncb - 1)
+            kr = rb1 - rb0 + 1
+            kc = cb1 - cb0 + 1
+            kk = jnp.arange(jmax, dtype=jnp.int32)[None, :]
+            jr = kk // kc[:, None]
+            jc = kk % kc[:, None]
+            live_e = live_r[:, None] & (kk < (kr * kc)[:, None])
+            eb = jnp.where(live_e,
+                           (rb0[:, None] + jr) * ncb + (cb0[:, None] + jc),
+                           nblocks).reshape(-1).astype(jnp.int32)
+            ridx = jnp.broadcast_to(
+                jnp.arange(rmax_entries, dtype=jnp.int32)[:, None],
+                (rmax_entries, jmax)).reshape(-1)
+            f0r = (jnp.ones(B, jnp.float32)
+                   if rtype == ReductionType.Count else val)[linec]
+            segs = [ax, bx, ay, by, i32(f0r)]
+            fills = [0, -1, 0, -1, 0]   # ax>bx: dead interval
+            params_2d, bids = device_layout_2d(
+                eb, ridx, segs, fills, nblocks, block, nsub_pad)
+            return upd(states, params_2d, bids)
+
+        return fn
+
+    return build

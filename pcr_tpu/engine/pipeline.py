@@ -667,7 +667,15 @@ class Pipeline:
 
         wire_cheap marks host-sourced ingest (the cloud crosses the
         host→device link inside the timed path), where a minimal wire
-        format beats the accumulate-optimal bucketed layout."""
+        format beats the accumulate-optimal bucketed layout. Point wires
+        are exact; glyph wires quantize Gaussian sub-cell offsets to u16
+        (O(1e-5) band deviation, inside the reference's 1e-4 CPU<->GPU
+        bar), so they engage only in Hybrid mode — the declared
+        throughput mode (pipeline.cpp:785-1152) — or with
+        PCR_GLYPH_WIRE=1."""
+        glyph_wire = wire_cheap and (
+            ExecutionMode(self.config.exec_mode) == ExecutionMode.Hybrid
+            or os.environ.get("PCR_GLYPH_WIRE", "0") == "1")
         cfg = self.config.grid
         eng = self._engine
         if gt == GlyphType.Point:
@@ -692,13 +700,21 @@ class Pipeline:
                 routing.glyph_channel(cloud, spec.glyph.sigma_x_channel),
                 routing.glyph_channel(cloud, spec.glyph.sigma_y_channel),
                 routing.glyph_channel(cloud, spec.glyph.rotation_channel))
-            return eng.prepare_gaussian(i, gp, valid, values)
+            try:
+                return eng.prepare_gaussian(i, gp, valid, values,
+                                            wire_cheap=glyph_wire)
+            except TypeError:   # engines without the wire_cheap knob
+                return eng.prepare_gaussian(i, gp, valid, values)
         if gt == GlyphType.Line:
             lp = routing.line_params(
                 spec.glyph, cfg, x, y,
                 routing.glyph_channel(cloud, spec.glyph.direction_channel),
                 routing.glyph_channel(cloud, spec.glyph.half_length_channel))
-            return eng.prepare_line(i, lp, valid, values, col, row)
+            try:
+                return eng.prepare_line(i, lp, valid, values, col, row,
+                                        wire_cheap=glyph_wire)
+            except TypeError:
+                return eng.prepare_line(i, lp, valid, values, col, row)
         raise PcrError(Status.error(StatusCode.NotImplemented,
                                     f"unknown glyph type {gt}"))
 

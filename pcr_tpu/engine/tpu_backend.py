@@ -80,12 +80,17 @@ def bucket_size(n: int) -> int:
     return CHUNK_BUCKETS[-1]
 
 
-def chunk_ranges(n: int):
+def chunk_ranges(n: int, cap: int | None = None):
     """Greedy split of n points into bucket-aligned (start, end) ranges:
-    full max-size chunks, then one padded tail chunk."""
+    full max-size chunks, then one padded tail chunk. `cap` lowers the
+    max chunk below the ladder top (entry-budget-bounded glyph wires)."""
     out = []
     start = 0
     top = CHUNK_BUCKETS[-1]
+    if cap is not None:
+        top = max(bucket_size(min(cap, top)), CHUNK_BUCKETS[0])
+        if top > cap and top > CHUNK_BUCKETS[0]:
+            top = CHUNK_BUCKETS[max(CHUNK_BUCKETS.index(top) - 1, 0)]
     while n - start >= top:
         out.append((start, start + top))
         start += top
@@ -1019,14 +1024,182 @@ class TpuEngine:
                                       builder, end - start))
         return staged
 
+    # -- host-sourced (hybrid) glyph wire paths -------------------------------
+
+    def _wire_ok(self, info) -> bool:
+        """Minimal-wire hybrid glyphs need the Pallas splat, a sum-family
+        op, and i16-packable cell coordinates."""
+        return (self.pallas != "off"
+                and info.scatter_kind == "sum"
+                and self.W <= 32000 and self.H <= 32000
+                and os.environ.get("PCR_WIRE_CHEAP", "1") == "1")
+
+    @staticmethod
+    def _wire_ladder(k: int) -> int:
+        """Power-of-2 ladder for data-dependent sizes that feed jit keys."""
+        b = 1
+        while b < k:
+            b <<= 1
+        return b
+
+    def _prepare_gaussian_wire(self, spec_idx: int, gp, valid, values):
+        """Hybrid Gaussian ingest: ship 12 B/point (16-20 with per-point
+        sigma), expand + bucket on DEVICE (device_prep), run the same
+        fused splat as the staged path. See device_prep module docs."""
+        from .device_prep import gaussian_wire_builder, pack_u16_pair
+        from .pallas_kernels import gauss_col_tile, padded_width
+        _, info = self.plans[spec_idx]
+        n = len(values)
+        values = np.asarray(values, dtype=np.float32)
+        rot = bool(gp.rotated)
+        # uniform-shape detection: no per-point segments when every point
+        # shares sigma/rotation (the common default_sigma case)
+        uniform = bool(n == 0 or (
+            (gp.sx == gp.sx.flat[0]).all()
+            and (gp.sy == gp.sy.flat[0]).all()
+            and (gp.cos_rot == gp.cos_rot.flat[0]).all()
+            and (gp.sin_rot == gp.sin_rot.flat[0]).all()))
+        if rot and not uniform:
+            return None   # per-point rotated: host path
+        TH = ROT_ROW_BLOCK if rot else GAUSS_ROW_BLOCK
+        rmax = self._wire_ladder(
+            max(int(gp.r[valid].max()) if valid.any() else 1, 1))
+        WT = ROT_COL_TILE if rot else gauss_col_tile(self.W, rmax)
+        kmax = ((2 * rmax) // TH + 2) * ((2 * rmax) // WT + 2)
+        nrb = self.H_pad // TH
+        ncb = padded_width(self.W) // WT
+        nblocks = nrb * ncb
+        block = min(PALLAS_BLOCK, 2048)
+        budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 8 << 20))
+        max_pts = max(budget // kmax, CHUNK_BUCKETS[0])
+        nsig = 0 if uniform else 2
+        icxy = pack_u16_pair((np.where(valid, gp.icx, -32768)
+                              & 0xFFFF).astype(np.int64),
+                             (np.where(valid, gp.icy, 0)
+                              & 0xFFFF).astype(np.int64))
+        subq = pack_u16_pair(
+            np.round(gp.sub_cx * np.float32(65535.0)).astype(np.int64),
+            np.round(gp.sub_cy * np.float32(65535.0)).astype(np.int64))
+        scal = {
+            "max_radius": float(self.plans[spec_idx][0].glyph
+                                .max_radius_cells),
+        }
+        if uniform and n:
+            scal["sx"] = float(gp.sx.flat[0])
+            scal["sy"] = float(gp.sy.flat[0])
+            if rot:
+                scal["cos_rot"] = float(gp.cos_rot.flat[0])
+                scal["sin_rot"] = float(gp.sin_rot.flat[0])
+        staged = []
+        for start, end in chunk_ranges(n, cap=max_pts):
+            b = bucket_size(min(end - start, max_pts))
+            sl = slice(start, end)
+            segs = [(icxy[sl], np.int32(-32768 << 16)),
+                    (subq[sl], 0), (values[sl], 0)]
+            if nsig:
+                segs += [(gp.sx[sl], 1.0), (gp.sy[sl], 1.0)]
+            nsub_pad = -(-b * kmax // block) + nblocks
+            key = ("gauss_wire", spec_idx, b, kmax, TH, WT, nsig, rot,
+                   tuple(sorted((k, round(v, 9))
+                                for k, v in scal.items())))
+            builder = (lambda info=info, b=b, kmax=kmax, TH=TH, WT=WT,
+                       nsub_pad=nsub_pad, blk=block, scal=dict(scal),
+                       nsig=nsig, rot=rot:
+                       gaussian_wire_builder(
+                           info, self.cfg, b, kmax, TH, WT, nsub_pad, blk,
+                           self.H_pad, scal, nsig, rot,
+                           self.pallas == "interpret")())
+            staged.append(StagedChunk(key, self._put(self._pack(b, segs)),
+                                      builder, end - start))
+        return staged
+
+    def _prepare_line_wire(self, spec_idx: int, lp, valid, values,
+                           col, row):
+        """Hybrid Line ingest: ship exact integer endpoints (12-16 B/pt),
+        rebuild the staircase runs + bucket layout on DEVICE, run the
+        rect-mode splat. Bit-exact vs the staged path."""
+        from .device_prep import line_wire_builder, pack_u16_pair
+        from .pallas_kernels import padded_width, rect_col_tile
+        _, info = self.plans[spec_idx]
+        n = len(values)
+        values = np.asarray(values, dtype=np.float32)
+        if (max(abs(int(lp.ix0.min() if n else 0)),
+                abs(int(lp.ix1.max() if n else 0)),
+                abs(int(lp.iy0.min() if n else 0)),
+                abs(int(lp.iy1.max() if n else 0))) >= 32000):
+            return None
+        TH = GAUSS_ROW_BLOCK
+        WT = rect_col_tile(self.W)
+        nrb = self.H_pad // TH
+        ncb = padded_width(self.W) // WT
+        nblocks = nrb * ncb
+        block = PALLAS_BLOCK
+        multi_tile = self.cfg.total_tiles() > 1
+        ddx = np.abs(lp.ix1.astype(np.int64) - lp.ix0)
+        ddy = np.abs(lp.iy1.astype(np.int64) - lp.iy0)
+        dmaj = np.maximum(ddx, ddy)
+        nruns = np.where(valid, np.minimum(ddx, ddy) + 1, 0)
+        runlen_max = int(dmaj.max()) + 1 if n else 1
+        jmax = max(runlen_max // WT, runlen_max // TH) + 2
+        budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 8 << 20))
+        run_cap = max(budget // jmax, 1 << 16)
+        e0 = pack_u16_pair((lp.ix0 & 0xFFFF).astype(np.int64),
+                           (np.where(valid, lp.iy0, -32768)
+                            & 0xFFFF).astype(np.int64))
+        e1 = pack_u16_pair((lp.ix1 & 0xFFFF).astype(np.int64),
+                           (lp.iy1 & 0xFFFF).astype(np.int64))
+        ctr = (pack_u16_pair((col & 0xFFFF).astype(np.int64),
+                             (row & 0xFFFF).astype(np.int64))
+               if multi_tile else None)
+        # chunk so each chunk's REAL run count fits the entry budget
+        cum = np.concatenate([[0], np.cumsum(nruns)])
+        staged = []
+        start = 0
+        while start < n:
+            # largest end with runs(start:end) <= run_cap and pts <= ladder
+            hi = int(np.searchsorted(cum, cum[start] + run_cap,
+                                     side="right")) - 1
+            end = max(min(hi, start + CHUNK_BUCKETS[-1]), start + 1)
+            b = bucket_size(end - start)
+            sl = slice(start, end)
+            r_chunk = int(cum[end] - cum[start])
+            rmax_entries = self._wire_ladder(max(r_chunk, 1 << 12))
+            nsub_pad = -(-rmax_entries * jmax // block) + nblocks
+            segs = [(e0[sl], np.int32(-32768 & 0xFFFF)),
+                    (e1[sl], 0), (values[sl], 0)]
+            if multi_tile:
+                segs.insert(0, (ctr[sl], 0))
+            key = ("line_wire", spec_idx, b, jmax, rmax_entries,
+                   multi_tile)
+            builder = (lambda info=info, b=b, jmax=jmax,
+                       rme=rmax_entries, nsub_pad=nsub_pad,
+                       mt=multi_tile:
+                       line_wire_builder(
+                           info, self.cfg, b, jmax, rme, TH, WT,
+                           nsub_pad, PALLAS_BLOCK, self.H_pad,
+                           self.pallas == "interpret", mt)())
+            staged.append(StagedChunk(key, self._put(self._pack(b, segs)),
+                                      builder, end - start))
+            start = end
+        return staged
+
     def prepare_gaussian(self, spec_idx: int, gp, valid, values,
-                         block: int = 4_096):
+                         block: int = 4_096, wire_cheap: bool = False):
         """Stage Gaussian chunks (gp: routing.GaussianParams).
 
         Rotation-free splats go through the row-block-sorted fast path:
         points are bucketed (with halo duplication) by GAUSS_ROW_BLOCK-row
         blocks on the host, each block padded to a multiple of `block`, so
-        every device sub-chunk matmuls against just TH rows."""
+        every device sub-chunk matmuls against just TH rows.
+
+        wire_cheap=True (host-sourced ingest): ship a minimal per-point
+        record and do the expansion on device (device_prep) — on a thin
+        host link the wire bounds throughput, not the accumulate."""
+        if wire_cheap and self._wire_ok(self.plans[spec_idx][1]):
+            staged = self._prepare_gaussian_wire(spec_idx, gp, valid,
+                                                 values)
+            if staged is not None:
+                return staged
         _, info = self.plans[spec_idx]
         n = len(values)
         r = np.where(valid, gp.r, np.int32(-1)).astype(np.int32)
@@ -1148,8 +1321,13 @@ class TpuEngine:
                        point_mode=False, with_f1=False))
         return [StagedChunk(key, self._put(buf), builder, n)]
 
-    def prepare_line(self, spec_idx: int, lp, valid, values, col, row):
+    def prepare_line(self, spec_idx: int, lp, valid, values, col, row,
+                     wire_cheap: bool = False):
         """Stage Line chunks (lp: routing.LineParams).
+
+        wire_cheap=True (host-sourced ingest): ship exact integer
+        endpoints (12-16 B/pt) and rebuild the staircase runs on device
+        (device_prep) — bit-exact vs this host path.
 
         With the Pallas kernel available, each line decomposes into its
         exact Bresenham runs (routing.line_rects — closed-form staircase,
@@ -1157,6 +1335,11 @@ class TpuEngine:
         rectangles through the fused 2-D sorted splat: min(ddx,ddy)+1
         entries per line instead of max(ddx,ddy)+1 scatter updates."""
         _, info = self.plans[spec_idx]
+        if wire_cheap and self._wire_ok(info):
+            staged = self._prepare_line_wire(spec_idx, lp, valid, values,
+                                             col, row)
+            if staged is not None:
+                return staged
         values = np.asarray(values, dtype=np.float32)
         if self.pallas != "off":
             from . import routing as _routing

@@ -1,0 +1,151 @@
+"""Hybrid (host-sourced) glyph ingest through the minimal-wire device
+expansion path (engine/device_prep.py).
+
+The round-2 Hybrid glyph path shipped the full 8-10-segment host-bucketed
+layout (32-64 B/point) and collapsed to 0.10-0.66 Mpts/s; the wire path
+ships 12-20 B/point and rebuilds the layout on device. Contract:
+
+  * Gaussian hybrid matches the CPU oracle within the reference's own
+    CPU<->GPU bar of 1e-4 relative (sub-cell offsets ride the wire as u16
+    fixed point; scripts/patterns/compare_cpu_gpu_patterns.py:28-41).
+  * Line hybrid is BIT-IDENTICAL to the staged device path (endpoints are
+    exact integers on the wire).
+  * Multi-tile grids keep the home-tile glyph clip.
+"""
+
+import numpy as np
+import pytest
+
+import pcr_tpu as pcr
+from conftest import make_grid_config
+
+
+def _cloud(n, extent, seed=3, channels=("value",)):
+    rng = np.random.default_rng(seed)
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(0, extent, n))
+    c.set_y_array(rng.uniform(0, extent, n))
+    for ch in channels:
+        c.add_channel(ch, pcr.DataType.Float32)
+    if "value" in channels:
+        c.set_channel_array_f32(
+            "value", rng.uniform(0, 1, n).astype(np.float32))
+    if "sigma" in channels:
+        c.set_channel_array_f32(
+            "sigma", rng.uniform(0.5, 2.5, n).astype(np.float32))
+    if "direction" in channels:
+        c.set_channel_array_f32(
+            "direction", rng.uniform(0, np.pi, n).astype(np.float32))
+    return c
+
+
+def _run(gc, spec, cloud, mode, staged=False):
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [spec]
+    cfg.exec_mode = mode
+    p = pcr.Pipeline.create(cfg)
+    src = p.stage(cloud) if staged else cloud
+    p.ingest(src)
+    p.finalize()
+    return p.result().band_array(0)
+
+
+def _rel_close(a, b, tol):
+    """Value parity at `tol` relative (NaN treated as 0), with empty-cell
+    mask flips bounded to the footprint fringe: u16 sub-offset quantization
+    can flip a cell across the w >= 1e-6 gaussian cutoff, turning an
+    untouched (NaN) cell into a ~1e-6 contribution or back — the same
+    class of fringe disagreement the reference tolerates between its own
+    CPU and GPU paths (compare_cpu_gpu_patterns.py:28-41)."""
+    flips = np.isnan(a) != np.isnan(b)
+    assert flips.mean() < 0.01, f"{flips.sum()} mask flips"
+    an, bn = np.nan_to_num(a), np.nan_to_num(b)
+    # any flipped cell must be a fringe cell (near-zero on the other side)
+    if flips.any():
+        assert float(np.abs(np.where(flips, an - bn, 0.0)).max()) < 1e-3
+    denom = max(float(np.nanmax(np.abs(a))), 1e-12)
+    assert float(np.abs(np.where(flips, 0.0, an - bn)).max()) / denom <= tol
+
+
+# Worst-cell parity scales as q*(sub quantum)/sigma (q <= ~5.3 at the
+# 1e-6 cutoff): ~1e-4 for sigma >= 1, ~1e-3 when sigma dips to 0.5.
+GAUSS_CASES = [
+    ("uniform", pcr.gaussian_splat_spec("value", default_sigma=2.0),
+     ("value",), 1e-4),
+    ("perpoint", pcr.gaussian_splat_spec("value", sigma_x_channel="sigma"),
+     ("value", "sigma"), 2e-3),
+    ("rot", pcr.gaussian_splat_spec("value", default_sigma_x=3.0,
+                                    default_sigma_y=1.2,
+                                    default_rotation=0.7),
+     ("value",), 1e-4),
+]
+
+
+@pytest.mark.parametrize("name,spec,channels,tol", GAUSS_CASES,
+                         ids=[c[0] for c in GAUSS_CASES])
+def test_hybrid_gaussian_wire_oracle_parity(name, spec, channels, tol):
+    gc = make_grid_config(w=128.0, h=128.0)
+    cloud = _cloud(2000, 128.0, channels=channels)
+    ref = _run(gc, spec, cloud, pcr.ExecutionMode.CPU)
+    hyb = _run(gc, spec, cloud, pcr.ExecutionMode.Hybrid)
+    _rel_close(ref, hyb, tol)
+
+
+def test_hybrid_line_wire_matches_staged_bitexact():
+    gc = make_grid_config(w=128.0, h=128.0)
+    cloud = _cloud(2000, 128.0, channels=("value", "direction"))
+    spec = pcr.line_splat_spec("value", default_half_length=5.0,
+                               direction_channel="direction")
+    staged = _run(gc, spec, cloud, pcr.ExecutionMode.GPU, staged=True)
+    hyb = _run(gc, spec, cloud, pcr.ExecutionMode.Hybrid)
+    assert np.array_equal(staged, hyb, equal_nan=True)
+
+
+def test_hybrid_gaussian_wire_multi_tile_clip():
+    """Home-tile clipping survives the device expansion (reference
+    semantics: glyph footprints clip to the owner's tile)."""
+    gc = make_grid_config(w=160.0, h=160.0)
+    gc.tile_width = gc.tile_height = 64
+    gc.compute_dimensions()
+    cloud = _cloud(1500, 160.0, channels=("value",))
+    spec = pcr.gaussian_splat_spec("value", default_sigma=2.0)
+    ref = _run(gc, spec, cloud, pcr.ExecutionMode.CPU)
+    hyb = _run(gc, spec, cloud, pcr.ExecutionMode.Hybrid)
+    _rel_close(ref, hyb, 1e-4)
+
+
+def test_hybrid_line_wire_multi_tile_clip():
+    gc = make_grid_config(w=160.0, h=160.0)
+    gc.tile_width = gc.tile_height = 64
+    gc.compute_dimensions()
+    cloud = _cloud(1500, 160.0, channels=("value", "direction"))
+    spec = pcr.line_splat_spec("value", default_half_length=6.0,
+                               direction_channel="direction")
+    staged = _run(gc, spec, cloud, pcr.ExecutionMode.GPU, staged=True)
+    hyb = _run(gc, spec, cloud, pcr.ExecutionMode.Hybrid)
+    assert np.array_equal(staged, hyb, equal_nan=True)
+
+
+def test_hybrid_wire_repeat_ingest_stable_keys():
+    """Repeated hybrid ingests of same-bucket clouds must reuse compiled
+    programs (the round-2 collapse suspect was per-chunk nsub recompiles);
+    correctness check: two ingests double the Sum."""
+    gc = make_grid_config(w=128.0, h=128.0)
+    spec = pcr.gaussian_splat_spec("value", default_sigma=1.5)
+    spec.type = pcr.ReductionType.Sum
+    cloud = _cloud(1000, 128.0)
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [spec]
+    cfg.exec_mode = pcr.ExecutionMode.Hybrid
+    p = pcr.Pipeline.create(cfg)
+    p.ingest(cloud)
+    keys_after_first = set(p._engine._jits.keys())
+    p.ingest(cloud)
+    assert set(p._engine._jits.keys()) == keys_after_first
+    p.finalize()
+    once = _run(gc, spec, _cloud(1000, 128.0), pcr.ExecutionMode.Hybrid)
+    twice = p.result().band_array(0)
+    assert np.allclose(np.nan_to_num(twice), 2 * np.nan_to_num(once),
+                       rtol=1e-6, atol=1e-6)

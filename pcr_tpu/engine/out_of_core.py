@@ -38,15 +38,28 @@ __all__ = ["OutOfCoreTpuEngine", "pick_band_rows"]
 
 
 def pick_band_rows(cfg: GridConfig, plans, budget: int) -> int:
-    """Largest tile-row-aligned band height whose device working set
-    (state fields + staging slack) fits the budget; 0 means the whole
-    grid fits (no banding needed)."""
+    """Largest band height whose device working set (state fields +
+    staging slack) fits the budget; 0 means the whole grid fits (no
+    banding needed).
+
+    Tiled grids band on tile-row multiples (glyph footprints clip to the
+    home tile, so tile-aligned bands need no halo). Untiled grids band on
+    raw GAUSS_ROW_BLOCK-aligned rows — there is no tile clip to respect,
+    and the engine duplicates each glyph entry into every band its
+    footprint touches (closes the round-2 single-tile hole where an
+    over-budget untiled grid silently ran fully resident)."""
     from .pallas_kernels import padded_width
     nf = sum(info.state_floats for _, info in plans)
     bytes_per_row = padded_width(cfg.width) * 4 * nf
     # staging buffers + donated double-buffering: keep the state itself
     # within ~1/4 of the budget
     rows = int(budget // (4 * bytes_per_row))
+    if cfg.total_tiles() <= 1:
+        from .tpu_backend import GAUSS_ROW_BLOCK
+        rows = (rows // GAUSS_ROW_BLOCK) * GAUSS_ROW_BLOCK
+        if rows >= cfg.height:
+            return 0
+        return max(rows, GAUSS_ROW_BLOCK)
     rows = (rows // cfg.tile_height) * cfg.tile_height
     if rows >= cfg.height:
         return 0
@@ -58,12 +71,18 @@ class OutOfCoreTpuEngine:
     ``TpuEngine`` surface the Pipeline uses."""
 
     def __init__(self, cfg: GridConfig, plans, band_rows: int, device=None):
-        from .tpu_backend import TpuEngine
-        if cfg.total_tiles() <= 1:
-            raise ValueError(
-                "out-of-core TPU mode needs a tiled grid (tile_height < "
-                "grid height) so glyph footprints stay band-local")
-        if band_rows % cfg.tile_height != 0:
+        from .tpu_backend import GAUSS_ROW_BLOCK, TpuEngine
+        self.untiled = cfg.total_tiles() <= 1
+        if self.untiled:
+            # untiled grids band on raw rows; glyph footprints may span
+            # bands, so prepare_* duplicates entries into every band
+            # their footprint touches (the band kernel's row masks clip
+            # each copy to its band exactly)
+            if band_rows % GAUSS_ROW_BLOCK != 0:
+                raise ValueError(
+                    "band_rows must be a GAUSS_ROW_BLOCK multiple for "
+                    "untiled grids")
+        elif band_rows % cfg.tile_height != 0:
             raise ValueError("band_rows must be a tile_height multiple")
         self.cfg = cfg
         self.plans = plans
@@ -72,18 +91,22 @@ class OutOfCoreTpuEngine:
         self.nbands = -(-self.H // band_rows)
         band_cfg = replace(cfg)
         band_cfg.height = band_rows
-        band_cfg.tiles_y = band_rows // cfg.tile_height
+        band_cfg.tiles_y = (1 if self.untiled
+                            else band_rows // cfg.tile_height)
         self._exec = TpuEngine(band_cfg, plans, device=device)
         self._host = [info.init_state((self.H, self.W))
                       for _, info in plans]
         self._cur: int | None = None
         self._dirty = False
-        self._tpb = band_rows // cfg.tile_height   # tile rows per band
+        self._tpb = max(band_rows // cfg.tile_height, 1)  # tile rows/band
 
     # -- band residency ---------------------------------------------------------
 
     def _band_of(self, row_clamped: np.ndarray) -> np.ndarray:
-        """Band id from the (clamped) assigned row — i.e. of the home tile."""
+        """Band id from the (clamped) assigned row — i.e. of the home
+        tile (tiled grids) or the raw row (untiled)."""
+        if self.untiled:
+            return row_clamped // self.band_rows
         return (row_clamped // self.cfg.tile_height) // self._tpb
 
     def _flush_cur(self):
@@ -166,8 +189,39 @@ class OutOfCoreTpuEngine:
             staged.append((int(b), chunks))
         return staged
 
+    def _band_span(self, y_lo, y_hi, valid):
+        """Per-point inclusive band range [b0, b1] for a footprint
+        spanning rows [y_lo, y_hi] (untiled grids only — tiled grids'
+        footprints clip to the home tile, one band)."""
+        b0 = np.clip(np.asarray(y_lo) // self.band_rows, 0,
+                     self.nbands - 1)
+        b1 = np.clip(np.asarray(y_hi) // self.band_rows, 0,
+                     self.nbands - 1)
+        bands = (range(int(b0[valid].min()), int(b1[valid].max()) + 1)
+                 if valid.any() else [])
+        return b0, b1, bands
+
     def prepare_gaussian(self, spec_idx: int, gp, valid, values):
         valid = np.asarray(valid, bool)
+        if self.untiled:
+            b0, b1, bands = self._band_span(gp.icy - gp.r, gp.icy + gp.r,
+                                            valid)
+            staged = []
+            for b in bands:
+                sel = valid & (b0 <= b) & (b <= b1)
+                if not sel.any():
+                    continue
+                lgp = replace(gp, icy=(gp.icy[sel]
+                                       - np.int32(b * self.band_rows)),
+                              icx=gp.icx[sel], sub_cx=gp.sub_cx[sel],
+                              sub_cy=gp.sub_cy[sel], sx=gp.sx[sel],
+                              sy=gp.sy[sel], cos_rot=gp.cos_rot[sel],
+                              sin_rot=gp.sin_rot[sel], r=gp.r[sel])
+                chunks = self._exec.prepare_gaussian(
+                    spec_idx, lgp, np.ones(int(sel.sum()), bool),
+                    np.asarray(values)[sel])
+                staged.append((int(b), chunks))
+            return staged
         band = self._band_of(np.clip(gp.icy, 0, self.H - 1))
         staged = []
         for b in self._bands_touched(band, valid):
@@ -189,6 +243,30 @@ class OutOfCoreTpuEngine:
     def prepare_line(self, spec_idx: int, lp, valid, values, col, row):
         valid = np.asarray(valid, bool)
         row = np.asarray(row)
+        if self.untiled:
+            y_lo = np.minimum(lp.iy0, lp.iy1)
+            y_hi = np.maximum(lp.iy0, lp.iy1)
+            b0, b1, bands = self._band_span(y_lo, y_hi, valid)
+            staged = []
+            for b in bands:
+                sel = valid & (b0 <= b) & (b <= b1)
+                if not sel.any():
+                    continue
+                off = np.int32(b * self.band_rows)
+                llp = replace(lp, ix0=lp.ix0[sel], iy0=lp.iy0[sel] - off,
+                              ix1=lp.ix1[sel], iy1=lp.iy1[sel] - off)
+                ddx = np.abs(llp.ix1.astype(np.int64) - llp.ix0)
+                ddy = np.abs(llp.iy1.astype(np.int64) - llp.iy0)
+                llp.max_steps = (int((2 * (ddx + ddy) + 2).max())
+                                 if len(ddx) else 0)
+                llp.k_cells = (int(np.maximum(ddx, ddy).max()) + 1
+                               if len(ddx) else 0)
+                chunks = self._exec.prepare_line(
+                    spec_idx, llp, np.ones(int(sel.sum()), bool),
+                    np.asarray(values)[sel], np.asarray(col)[sel],
+                    np.clip(row[sel] - off, 0, self.band_rows - 1))
+                staged.append((int(b), chunks))
+            return staged
         band = self._band_of(np.clip(row, 0, self.H - 1))
         staged = []
         for b in self._bands_touched(band, valid):

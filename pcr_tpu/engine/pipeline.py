@@ -98,16 +98,27 @@ class PipelineConfig:
     host_cache_budget: int = 0
     chunk_size: int = 0            # points per device chunk, 0 = auto
 
-    # Accelerator configuration (names kept for reference compatibility)
+    # Accelerator configuration (names kept for reference compatibility,
+    # pipeline.h:49-86)
     gpu_pool_size_bytes: int = 512 * 1024 * 1024
+    # ^ COMPAT-ONLY, ignored: XLA owns device memory on TPU; there is no
+    #   user-sized arena. Budget-driven behaviour lives in
+    #   gpu_memory_budget (out-of-core banding) instead.
     cuda_device_id: int = 0        # TPU device index here
-    use_cuda_streams: bool = True  # async dispatch is always on in JAX
+    use_cuda_streams: bool = True
+    # ^ COMPAT-ONLY, ignored: JAX dispatch is always asynchronous; there
+    #   is no stream on/off switch to honor.
     gpu_fallback_to_cpu: bool = True
     gpu_require_strict: bool = False
 
-    # CPU threading (numpy path is vectorized; kept for API compatibility)
+    # CPU threading
     cpu_threads: int = 0
+    # ^ COMPAT-ONLY, ignored: the CPU oracle path is vectorized numpy
+    #   (single-threaded by design for determinism); the reference's
+    #   OpenMP thread count has no analogue here.
     hybrid_cpu_threads: int = 0
+    # ^ COMPAT-ONLY, ignored: Hybrid host routing overlaps upload via a
+    #   fixed 2-worker pipeline sized to the wire, not a thread pool.
 
     # Multi-chip scale-out (TPU-native extension; the reference is
     # single-device). Any of these engages the ShardedTpuEngine: state is
@@ -169,7 +180,7 @@ class Pipeline:
         self._host_state = []             # CPU mode: per spec list[(H,W)]
         self._managers = []               # CPU out-of-core: TileManager/spec
         self._collect = {}                # order-statistics specs: spec idx
-                                          #   -> list[(cells, values)]
+                                          #   -> CollectStream (spill-backed)
         self._tiled = False
         self._engine = None               # jax mode: TpuEngine
         self._result: Grid | None = None
@@ -206,7 +217,9 @@ class Pipeline:
                     "Sum, or Count reduction types"))
             p._plans.append((spec, info))
             if info.scatter_kind == "collect":
-                p._collect[len(p._plans) - 1] = []
+                from .collect_spill import CollectStream
+                p._collect[len(p._plans) - 1] = CollectStream(
+                    spill_dir=config.state_dir or None)
         p._init_state()
         p._load_existing_state()
         return p
@@ -460,7 +473,7 @@ class Pipeline:
                 staged = cloud.per_spec[i]
                 if (isinstance(staged, tuple) and staged
                         and staged[0] == "collect"):
-                    self._collect[i].append((staged[1], staged[2]))
+                    self._collect[i].append(staged[1], staged[2])
                 else:
                     self._engine.commit(i, staged)
             self._touched_tiles.update(cloud.tiles)
@@ -552,7 +565,7 @@ class Pipeline:
             flat = (row[valid].astype(np.int64) * self.config.grid.width
                     + col[valid].astype(np.int64))
             self._collect[i].append(
-                (flat, np.asarray(values, np.float32)[valid]))
+                flat, np.asarray(values, np.float32)[valid])
             return
         weights, timestamps = self._aux_channels(spec, info, cloud, n)
         gt = GlyphType(spec.glyph.type)
@@ -864,17 +877,7 @@ class Pipeline:
                     np.full((cfg.height, cfg.width), np.nan,
                             dtype=np.float32))
             if info.scatter_kind == "collect":
-                from ..ops.reduction import compute_percentile_band
-                pairs = self._collect.get(i, [])
-                cells = (np.concatenate([p[0] for p in pairs])
-                         if pairs else np.zeros(0, np.int64))
-                vals = (np.concatenate([p[1] for p in pairs])
-                        if pairs else np.zeros(0, np.float32))
-                q = (0.5 if ReductionType(spec.type) == ReductionType.Median
-                     else float(spec.percentile))
-                band = compute_percentile_band(
-                    cells, vals, (cfg.height, cfg.width), q)
-                grid.set_band_array(i, band)
+                grid.set_band_array(i, self._collect_band(i, spec))
                 continue
             if self._backend == "jax":
                 # finalize on device; fetch one band instead of K state fields
@@ -956,18 +959,11 @@ class Pipeline:
 
     def _collect_band(self, i, spec):
         """Assemble an order-statistics (Median/Percentile) band from the
-        collected (cell, value) stream."""
-        from ..ops.reduction import compute_percentile_band
+        collected (cell, value) stream (spill-backed: collect_spill)."""
         cfg = self.config.grid
-        pairs = self._collect.get(i, [])
-        cells = (np.concatenate([p[0] for p in pairs])
-                 if pairs else np.zeros(0, np.int64))
-        vals = (np.concatenate([p[1] for p in pairs])
-                if pairs else np.zeros(0, np.float32))
         q = (0.5 if ReductionType(spec.type) == ReductionType.Median
              else float(spec.percentile))
-        return compute_percentile_band(
-            cells, vals, (cfg.height, cfg.width), q)
+        return self._collect[i].band((cfg.height, cfg.width), q)
 
     def _geotiff_opts(self):
         from .. import native

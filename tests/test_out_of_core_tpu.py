@@ -138,3 +138,60 @@ def test_chunk_size_honored():
     got = run(pipe_cfg(gc, specs, chunk_size=3000), [cloud]).result()
     np.testing.assert_allclose(got.band_array(0), want.band_array(0),
                                atol=1e-6, equal_nan=True)
+
+
+# -- untiled (single-tile) grids: the round-2 hole --------------------------
+# An over-budget grid whose default 4096^2 tile covers it entirely used to
+# slip through banding and run fully resident (or raise an untyped error).
+# Untiled grids now band on raw GAUSS_ROW_BLOCK-aligned rows, duplicating
+# each glyph entry into every band its footprint touches (VERDICT r2 #7;
+# reference analogue: tile_manager.cpp:183-414).
+
+def untiled_grid(n=600.0):
+    gc = make_grid_config(w=n, h=n)
+    gc.tile_width = gc.tile_height = 8192   # single tile covers the grid
+    gc.compute_dimensions()
+    assert gc.total_tiles() == 1
+    return gc
+
+
+def test_untiled_budget_engages_banding():
+    gc = untiled_grid()
+    specs = [ReductionSpec(value_channel="v", type=RT.Average)]
+    p = Pipeline.create(pipe_cfg(gc, specs, budget=1 << 20))
+    assert isinstance(p._engine, OutOfCoreTpuEngine)
+    assert p._engine.untiled
+    assert p._engine.nbands > 1
+
+
+def test_untiled_point_banded_matches_resident_exactly():
+    gc = untiled_grid()
+    specs = [ReductionSpec(value_channel="v", type=RT.Average)]
+    clouds = [make_cloud(8000, seed=s, w=600.0, h=600.0,
+                         channels=("v",)) for s in (0, 1)]
+    res = run(pipe_cfg(gc, specs), clouds).result()
+    ooc = run(pipe_cfg(gc, specs, budget=1 << 20), clouds).result()
+    np.testing.assert_array_equal(ooc.band_array(0), res.band_array(0))
+
+
+def test_untiled_gaussian_cross_band_footprints_match_resident():
+    """Gaussian footprints (sigma=4 -> r=12) span band boundaries on an
+    untiled grid; the duplicated entries must reproduce the resident
+    result exactly."""
+    gc = untiled_grid()
+    spec = pcr.gaussian_splat_spec("v", default_sigma=4.0)
+    clouds = [make_cloud(4000, seed=7, w=600.0, h=600.0, channels=("v",))]
+    res = run(pipe_cfg(gc, [spec]), clouds).result()
+    ooc = run(pipe_cfg(gc, [spec], budget=1 << 20), clouds).result()
+    np.testing.assert_array_equal(ooc.band_array(0), res.band_array(0))
+
+
+def test_untiled_line_cross_band_matches_resident():
+    gc = untiled_grid()
+    spec = pcr.line_splat_spec("v", default_half_length=10.0,
+                               direction_channel="d")
+    clouds = [make_cloud(4000, seed=9, w=600.0, h=600.0,
+                         channels=("v", "d"))]
+    res = run(pipe_cfg(gc, [spec]), clouds).result()
+    ooc = run(pipe_cfg(gc, [spec], budget=1 << 20), clouds).result()
+    np.testing.assert_array_equal(ooc.band_array(0), res.band_array(0))

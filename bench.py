@@ -65,24 +65,36 @@ BASELINES = {
 
 def wait_for_device():
     """The remote-attached TPU tunnel has transient outages where the jax
-    backend fails to initialise. Probe in a subprocess (a failed init can be
-    cached in-process) and retry before touching jax here."""
+    backend fails to initialise — and degraded windows where dispatch
+    works but synchronous fetches stall for minutes (measured 81 s for a
+    1 KB fetch during one). Probe BOTH in a subprocess (a failed init can
+    be cached in-process) and retry before touching jax here, so the
+    recorded numbers measure the framework, not an outage."""
     import subprocess
-    probe = ("import jax; "
-             "assert any(d.platform != 'cpu' for d in jax.devices())")
-    deadline = time.monotonic() + float(os.environ.get("PCR_BENCH_WAIT", 600))
+    probe = (
+        "import time, numpy as np, jax;"
+        "d=[x for x in jax.devices() if x.platform != 'cpu']; assert d;"
+        "y=jax.jit(lambda a: a + 1)("
+        "jax.device_put(np.ones(256, np.float32), d[0]));"
+        "t0=time.time(); np.asarray(y); assert time.time()-t0 < 5.0")
+    deadline = time.monotonic() + float(os.environ.get("PCR_BENCH_WAIT",
+                                                       1800))
     while True:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, timeout=180)
-        if r.returncode == 0:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
             return True
         if time.monotonic() > deadline:
-            print("# no accelerator after wait; benching anyway",
+            print("# no healthy accelerator after wait; benching anyway",
                   file=sys.stderr)
             return False
-        print("# accelerator unavailable (tunnel outage?), retrying in 20s",
+        print("# accelerator unavailable or link degraded, retry in 30s",
               file=sys.stderr)
-        time.sleep(20)
+        time.sleep(30)
 
 
 def main():

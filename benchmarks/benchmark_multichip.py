@@ -27,6 +27,19 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("PCR_VIRTUAL_MESH"):
+    # This container's site config registers the axon TPU platform
+    # regardless of JAX_PLATFORMS; force the virtual CPU mesh the same
+    # way tests/conftest.py does (env alone is not enough).
+    _n = int(os.environ["PCR_VIRTUAL_MESH"])
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={_n}")
+    os.environ.setdefault("PCR_FORCE_JAX", "1")
+    os.environ.setdefault("PCR_PALLAS", "interpret")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import pcr_tpu as pcr  # noqa: E402
 
 

@@ -186,7 +186,8 @@ def load_rows(paths):
     return rows
 
 
-def build_markdown(by_glyph, points, modes, lidar_rows, bench):
+def build_markdown(by_glyph, points, modes, lidar_rows, bench,
+                   mesh_rows=()):
     lines = ["# PCR-TPU benchmark report", ""]
     lines.append("## Throughput (Mpts/s)")
     header = ["glyph"] + [f"N={fmt_n(n)} {m}" for n in points for m in modes]
@@ -220,6 +221,17 @@ def build_markdown(by_glyph, points, modes, lidar_rows, bench):
         for r in lidar_rows:
             lines.append("| " + " | ".join(str(r[c]) for c in cols) + " |")
 
+    if mesh_rows:
+        lines += ["", "## Multi-chip dp x sp scaling "
+                  "(jax.sharding mesh; virtual CPU devices unless run "
+                  "on a pod — numbers then measure the sharding "
+                  "machinery, not hardware)", ""]
+        cols = list(mesh_rows[0])
+        lines.append("| " + " | ".join(cols) + " |")
+        lines.append("|" + "---|" * len(cols))
+        for r in mesh_rows:
+            lines.append("| " + " | ".join(str(r[c]) for c in cols) + " |")
+
     if bench:
         lines += ["", "## Driver bench (bench.py)", "",
                   f"Primary metric: **{bench['value']} {bench['unit']}** "
@@ -228,7 +240,8 @@ def build_markdown(by_glyph, points, modes, lidar_rows, bench):
     return "\n".join(lines) + "\n"
 
 
-def build_html(by_glyph, points, modes, lidar_rows, bench):
+def build_html(by_glyph, points, modes, lidar_rows, bench,
+               mesh_rows=()):
     sections = []
 
     def table(headers, rows):
@@ -286,6 +299,12 @@ def build_html(by_glyph, points, modes, lidar_rows, bench):
             "<h2>LiDAR streaming pipeline (mode comparison)</h2>" +
             table(cols, [[r[c] for c in cols] for r in lidar_rows]))
 
+    if mesh_rows:
+        cols = list(mesh_rows[0])
+        sections.append(
+            "<h2>Multi-chip dp&times;sp scaling</h2>" +
+            table(cols, [[r[c] for c in cols] for r in mesh_rows]))
+
     env = ""
     if bench and bench.get("env"):
         env = (f'<p class="note">env: '
@@ -321,6 +340,7 @@ def main():
     ap.add_argument("-o", "--output", default="BENCHMARK_REPORT.md")
     ap.add_argument("--html", default="")
     ap.add_argument("--lidar-csv", default="")
+    ap.add_argument("--multichip-csv", default="")
     ap.add_argument("--bench-json", default="")
     args = ap.parse_args()
 
@@ -336,17 +356,21 @@ def main():
             r["mpts_per_s"])
 
     lidar_rows = load_rows([args.lidar_csv]) if args.lidar_csv else []
+    mesh_rows = (load_rows([args.multichip_csv])
+                 if args.multichip_csv else [])
     bench = None
     if args.bench_json:
         with open(args.bench_json) as f:
             bench = json.load(f)
 
     with open(args.output, "w") as f:
-        f.write(build_markdown(by_glyph, points, modes, lidar_rows, bench))
+        f.write(build_markdown(by_glyph, points, modes, lidar_rows, bench,
+                               mesh_rows))
     print(f"wrote {args.output}")
     if args.html:
         with open(args.html, "w") as f:
-            f.write(build_html(by_glyph, points, modes, lidar_rows, bench))
+            f.write(build_html(by_glyph, points, modes, lidar_rows, bench,
+                           mesh_rows))
         print(f"wrote {args.html}")
 
 

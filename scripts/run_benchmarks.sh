@@ -34,9 +34,17 @@ python scripts/data/run_lidar_pipeline.py \
     --stats-json "$OUT/lidar_stats.json"
 rm -rf "$LIDAR_DIR"
 
+echo "== multi-chip dp x sp scaling (virtual 8-device mesh) =="
+PCR_VIRTUAL_MESH="${PCR_BENCH_MESH_DEVICES:-8}" python \
+    benchmarks/benchmark_multichip.py \
+    --points "${PCR_BENCH_MESH_POINTS:-2000000}" \
+    --glyphs point gauss --csv "$OUT/multichip.csv" \
+    | tee "$OUT/multichip.log"
+
 echo "== report =="
 python benchmarks/generate_report.py "$OUT/glyph_sweep.csv" \
     -o "$OUT/REPORT.md" --html "$OUT/REPORT.html" \
     --lidar-csv "$OUT/mode_comparison.csv" \
+    --multichip-csv "$OUT/multichip.csv" \
     ${PCR_SKIP_BENCH:+} $( [ -f "$OUT/bench.json" ] && echo --bench-json "$OUT/bench.json" )
 echo "results in $OUT"

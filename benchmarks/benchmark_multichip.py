@@ -36,7 +36,9 @@ if os.environ.get("PCR_VIRTUAL_MESH"):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count={_n}")
     os.environ.setdefault("PCR_FORCE_JAX", "1")
-    os.environ.setdefault("PCR_PALLAS", "interpret")
+    # NOTE: leave PCR_PALLAS at its default — on the CPU backend the
+    # engine picks the XLA paths; interpret-mode Pallas at benchmark
+    # sizes is orders of magnitude too slow to measure anything.
     import jax
     jax.config.update("jax_platforms", "cpu")
 

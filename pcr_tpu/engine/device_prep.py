@@ -66,9 +66,10 @@ def device_layout_2d(eb, pidx, seg_srcs, fills, nblocks, block, nsub_pad):
     from jax import lax
 
     E0 = eb.shape[0]
-    nseg = len(seg_srcs)
     eb_s, pidx_s = lax.sort_key_val(eb, pidx)
-    # first sorted index of each block (searchsorted over the sorted keys)
+    # first sorted index of each block (searchsorted over the sorted
+    # keys); dead entries (eb == nblocks) sort past bounds[nblocks] and
+    # are never referenced
     bounds = jnp.searchsorted(eb_s, jnp.arange(nblocks + 1,
                                                dtype=jnp.int32))
     counts = bounds[1:] - bounds[:-1]
@@ -77,25 +78,26 @@ def device_layout_2d(eb, pidx, seg_srcs, fills, nblocks, block, nsub_pad):
     subs = jnp.maximum((counts + block - 1) // block, 1)
     sub_start = jnp.concatenate(
         [jnp.zeros(1, subs.dtype), jnp.cumsum(subs)])
-    ebc = jnp.minimum(eb_s, nblocks - 1)
-    pos = jnp.arange(E0, dtype=bounds.dtype) - bounds[ebc]
-    slot = sub_start[ebc] * block + pos
-    # dead entries (eb == nblocks) sort to the end; route them out of
-    # bounds so the scatter drops them and the prefilled dead encodings
-    # stay in place
-    slot = jnp.where(eb_s < nblocks, slot, nsub_pad * block)
-    mat = jnp.stack([s[pidx_s] for s in seg_srcs], axis=1)   # (E0, nseg)
-    base = jnp.broadcast_to(
-        jnp.asarray(fills, dtype=jnp.int32)[None, :],
-        (nsub_pad * block, nseg))
-    laid = base.at[slot].set(mat, mode="drop",
-                             indices_are_sorted=True, unique_indices=True)
-    params_2d = (laid.reshape(nsub_pad, block, nseg)
-                 .transpose(0, 2, 1).reshape(nsub_pad, nseg * block))
     s_idx = jnp.arange(nsub_pad, dtype=sub_start.dtype)
     bids = jnp.clip(
         jnp.searchsorted(sub_start[1:], s_idx, side="right"),
         0, nblocks - 1).astype(jnp.int32)
+    # Build the layout by GATHER, not scatter: for output slot j of
+    # sub-chunk s, the source is the (j - run start)'th sorted entry of
+    # block bids[s]; pad slots (pos >= count) take the dead fill. On TPU
+    # a gather is far cheaper than an equal-sized scatter, and stacking
+    # the per-segment planes on axis=1 produces the kernel's
+    # (nsub, nseg, block) layout with no transpose pass.
+    j = jnp.arange(nsub_pad * block, dtype=jnp.int32)
+    b = bids[j // block]
+    pos = j - sub_start[b].astype(jnp.int32) * block
+    live = pos < counts[b]
+    src = bounds[b] + jnp.minimum(pos, jnp.maximum(counts[b] - 1, 0))
+    idx2 = pidx_s[jnp.clip(src, 0, E0 - 1)]
+    planes = [
+        jnp.where(live, s[idx2], jnp.int32(f)).reshape(nsub_pad, block)
+        for s, f in zip(seg_srcs, fills)]
+    params_2d = jnp.stack(planes, axis=1).reshape(nsub_pad, -1)
     return params_2d, bids
 
 

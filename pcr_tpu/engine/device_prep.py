@@ -15,9 +15,29 @@ minimal wire record per point —
 
 12 B/point — and the jitted update program decodes it, computes the glyph
 footprint, duplicates entries across the (row-block x col-block) tiles
-they touch (static kmax expansion), groups them with one lax.sort, scatters
-them into the sorted-splat layout, and runs the SAME fused Pallas kernel
-as the staged path (pallas_kernels.build_sorted_splat_pallas).
+they touch (static kmax expansion), groups them, and runs the SAME fused
+Pallas kernel as the staged path (pallas_kernels.build_sorted_splat_pallas).
+
+Grouping is ONE two-key sort that carries every segment as payload and
+whose sorted order IS the kernel layout:
+
+  * key1 = entry block id, key2 = entry index (stability + the exact
+    host-bucketing entry order, so line hybrid stays bit-identical).
+  * a static pad region of nblocks*block always-dead entries is assigned,
+    on device, to blocks so every block's entry count rounds up to a
+    whole number of `block`-entry sub-chunks (and every block keeps >= 1
+    sub-chunk — the kernel's visit-all state-definition contract). After
+    the sort each sub-chunk therefore holds exactly one block's entries:
+    no gather pass, no scatter pass, just reshape.
+
+The first cut of this path grouped with sort_key_val + gather-based
+placement and enumerated line runs with jnp.searchsorted; measured on
+v5e (benchmarks/profile_hybrid_device.py, 2M-point chunk) those lower to
+sequential scalar-unit passes — searchsorted 656 ms, 10 per-line gathers
+919 ms, gather layout 680 ms — while a 9-payload sort is 102 ms and a
+scatter+cumsum 48 ms. Everything data-dependent here is therefore built
+from scatter-add + cumsum (run enumeration, per-line value propagation,
+pad-block assignment); the only remaining gathers are O(nblocks) tables.
 
 Sub-cell offsets ride the wire as u16 fixed point (quantization 7.6e-6 of
 a cell). The resulting raster differs from the exact staged/CPU path by
@@ -25,7 +45,7 @@ O(1e-5) relative — inside the reference's own CPU<->GPU comparison bar of
 1e-4 (scripts/patterns/compare_cpu_gpu_patterns.py:28-41). Line glyphs
 ship exact integer endpoints, so their hybrid path stays bit-exact.
 
-A bonus of device-side layout: the sub-chunk count nsub becomes a static
+A bonus of device-side layout: the sub-chunk count nsub is a static
 function of (bucket, kmax) instead of data-dependent, so hybrid chunks
 stop minting new jit keys (the round-2 per-chunk recompile suspect).
 
@@ -40,8 +60,8 @@ import numpy as np
 from ..core.types import ReductionType
 from ..ops.reduction import ReductionInfo
 
-__all__ = ["device_layout_2d", "gaussian_wire_builder", "line_wire_builder",
-           "pack_u16_pair", "SUB_Q"]
+__all__ = ["aligned_sorted_layout", "gaussian_wire_builder",
+           "line_wire_builder", "pack_u16_pair", "SUB_Q"]
 
 SUB_Q = 65535.0   # u16 fixed-point scale for sub-cell offsets
 
@@ -51,60 +71,83 @@ def pack_u16_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((a.astype(np.int64) << 16) | b.astype(np.int64)).astype(np.int32)
 
 
-def device_layout_2d(eb, pidx, seg_srcs, fills, nblocks, block, nsub_pad):
-    """Group entries by block id and place them into the sorted-splat
-    layout — all on device.
+def _step_count(pos, length, clip_last=False):
+    """cumsum-of-scattered-markers: out[t] = #{i : pos[i] <= t} for sorted
+    pos. The scatter+cumsum form of searchsorted(pos, t, side='right') —
+    one pass instead of log2(len(pos)) sequential gather rounds."""
+    import jax.numpy as jnp
+
+    marker = jnp.zeros(length, jnp.int32).at[pos].add(1, mode="drop")
+    return jnp.cumsum(marker)
+
+
+def _propagate(pos, channels, length):
+    """Forward-fill per-item values to slot resolution: slot t in
+    [pos[i], pos[i+1]) receives channels[k][i], exactly, for arbitrary
+    int32 bit patterns.
+
+    Trick: scatter the telescoping differences d[i] = c[i] - c[i-1] at
+    their run starts and prefix-sum. i32 add/sub wraps mod 2^32, so the
+    telescoped cumsum reproduces the exact source bits even mid-overflow
+    (safe for bitcast f32 payloads); coincident starts (zero-length runs)
+    accumulate their diffs at one slot and telescope through.
+    """
+    import jax.numpy as jnp
+
+    outs = []
+    for c in channels:
+        d = jnp.concatenate([c[:1], c[1:] - c[:-1]])
+        m = jnp.zeros(length, jnp.int32).at[pos].add(d, mode="drop")
+        outs.append(jnp.cumsum(m))
+    return outs
+
+
+def aligned_sorted_layout(eb, order, payloads, nblocks, block, nsub_pad):
+    """Group entries by block id into the kernel's (nsub, nseg, block)
+    layout with ONE payload-carrying sort.
 
     eb:       (E0,) int32 entry block ids; dead entries carry nblocks.
-    pidx:     (E0,) int32 source index of each entry (gathers seg values).
-    seg_srcs: list of (N,) int32 arrays (f32 segments bit-cast by caller).
-    fills:    list of int32 fill words (dead-entry encodings per segment).
-    Returns (params_2d (nsub_pad, nseg*block) int32, bids (nsub_pad,) int32)
-    matching the pallas_kernels layout contract.
+              E0 == nsub_pad * block == raw entries + nblocks*block pad.
+              The trailing nblocks*block slots are the pad region: their
+              incoming eb is ignored and reassigned here.
+    order:    (E0,) int32 rank-preserving secondary key (entry index).
+    payloads: list of (E0,) int32 planes, dead/pad slots already filled.
+    Returns (params_2d (nsub_pad, nseg*block) int32, bids (nsub_pad,)).
     """
     import jax.numpy as jnp
     from jax import lax
 
     E0 = eb.shape[0]
-    eb_s, pidx_s = lax.sort_key_val(eb, pidx)
-    # first sorted index of each block (searchsorted over the sorted
-    # keys); dead entries (eb == nblocks) sort past bounds[nblocks] and
-    # are never referenced
-    bounds = jnp.searchsorted(eb_s, jnp.arange(nblocks + 1,
-                                               dtype=jnp.int32))
-    counts = bounds[1:] - bounds[:-1]
-    # visit_all: every block gets >= 1 sub-chunk so every state block is
-    # defined without in/out aliasing (pallas_kernels layout contract)
-    subs = jnp.maximum((counts + block - 1) // block, 1)
-    sub_start = jnp.concatenate(
-        [jnp.zeros(1, subs.dtype), jnp.cumsum(subs)])
-    s_idx = jnp.arange(nsub_pad, dtype=sub_start.dtype)
-    bids = jnp.clip(
-        jnp.searchsorted(sub_start[1:], s_idx, side="right"),
-        0, nblocks - 1).astype(jnp.int32)
-    # Build the layout by GATHER, not scatter: for output slot j of
-    # sub-chunk s, the source is the (j - run start)'th sorted entry of
-    # block bids[s]; pad slots (pos >= count) take the dead fill. On TPU
-    # a gather is far cheaper than an equal-sized scatter, and stacking
-    # the per-segment planes on axis=1 produces the kernel's
-    # (nsub, nseg, block) layout with no transpose pass.
-    j = jnp.arange(nsub_pad * block, dtype=jnp.int32)
-    b = bids[j // block]
-    pos = j - sub_start[b].astype(jnp.int32) * block
-    live = pos < counts[b]
-    src = bounds[b] + jnp.minimum(pos, jnp.maximum(counts[b] - 1, 0))
-    idx2 = pidx_s[jnp.clip(src, 0, E0 - 1)]
-    planes = [
-        jnp.where(live, s[idx2], jnp.int32(f)).reshape(nsub_pad, block)
-        for s, f in zip(seg_srcs, fills)]
+    npad = nblocks * block
+    raw = E0 - npad
+    live = eb[:raw] != nblocks
+    counts = jnp.zeros(nblocks, jnp.int32).at[
+        jnp.where(live, eb[:raw], 0)].add(
+        live.astype(jnp.int32), mode="drop")
+    # pad need: round each block up to whole sub-chunks, and give empty
+    # blocks one whole sub-chunk (visit-all: the kernel defines a block's
+    # state only when some sub-chunk visits it)
+    rem = counts % block
+    need = jnp.where(counts == 0, block, (block - rem) % block)
+    cumneed = jnp.cumsum(need)
+    # pad slot d -> block: #{b : cumneed[b] <= d}, scatter+cumsum form
+    pad_b = _step_count(cumneed[:-1], npad)
+    pad_live = jnp.arange(npad, dtype=jnp.int32) < cumneed[-1]
+    eb_full = jnp.concatenate(
+        [eb[:raw],
+         jnp.where(pad_live, pad_b, nblocks).astype(jnp.int32)])
+    ops = lax.sort((eb_full, order) + tuple(payloads), num_keys=2)
+    planes = [p.reshape(nsub_pad, block) for p in ops[2:]]
     params_2d = jnp.stack(planes, axis=1).reshape(nsub_pad, -1)
+    bids = jnp.clip(ops[0].reshape(nsub_pad, block)[:, 0],
+                    0, nblocks - 1).astype(jnp.int32)
     return params_2d, bids
 
 
 def _halo_expand(icx, icy, r, live_p, TH, WT, nrb, ncb, kmax):
     """Static kmax-entry halo expansion: entry j of point p targets block
     (rb0+j//kc, cb0+j%kc); entries beyond kr*kc (or dead points) get the
-    sentinel block id nblocks."""
+    sentinel block id nblocks. Pure arithmetic — no gathers."""
     import jax.numpy as jnp
 
     B = icx.shape[0]
@@ -122,9 +165,7 @@ def _halo_expand(icx, icy, r, live_p, TH, WT, nrb, ncb, kmax):
     eb = jnp.where(live_e,
                    (rb0[:, None] + jr) * ncb + (cb0[:, None] + jc),
                    nblocks).reshape(-1).astype(jnp.int32)
-    pidx = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None], (B, kmax)).reshape(-1)
-    return eb, pidx
+    return eb, live_e
 
 
 def _unpack16(v):
@@ -168,6 +209,7 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
     from .pallas_kernels import padded_width
     ncb = padded_width(W) // WT
     nrb = h_pad // TH
+    nblocks = nrb * ncb
     rtype = ReductionType(info.type)
 
     def build():
@@ -180,6 +222,8 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
             False, interpret, two_d=True, wt=WT, h_pad=h_pad)
         i32 = lambda a: lax.bitcast_convert_type(a, jnp.int32)
         f32b = lambda v: np.float32(v).view(np.int32).item()
+        E0 = nsub_pad * block          # B*kmax raw + nblocks*block pad
+        npad = nblocks * block
 
         def fn(states, buf):
             icx, icy, live_p, sub_cx, sub_cy, val, extras = _decode_wire(
@@ -192,8 +236,8 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
             R = jnp.minimum(np.float32(3.0) * jnp.maximum(sx, sy),
                             np.float32(scal["max_radius"]))
             r = jnp.ceil(R).astype(jnp.int32)
-            eb, pidx = _halo_expand(icx, icy, r, live_p, TH, WT,
-                                    nrb, ncb, kmax)
+            eb, live_e = _halo_expand(icx, icy, r, live_p, TH, WT,
+                                      nrb, ncb, kmax)
             f0 = (jnp.ones(B, jnp.float32)
                   if rtype == ReductionType.Count else val)
             if rot:
@@ -225,8 +269,19 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
                 segs = [icx, icy, i32(sub_cx), i32(sub_cy),
                         i32(sx), i32(sy), r, i32(f0)]
                 fills = [0, 0, 0, 0, f32b(1.0), f32b(1.0), -1, 0]
-            params_2d, bids = device_layout_2d(
-                eb, pidx, segs, fills, nrb * ncb, block, nsub_pad)
+            # entry payloads: broadcast each per-point segment across its
+            # kmax halo slots (a reshape copy, no gather), fill dead and
+            # pad slots with the segment's dead encoding
+            payloads = []
+            for s, f in zip(segs, fills):
+                plane = jnp.where(live_e, s[:, None], jnp.int32(f))
+                payloads.append(jnp.concatenate(
+                    [plane.reshape(-1), jnp.full(npad, np.int32(f))]))
+            order = jnp.arange(E0, dtype=jnp.int32)
+            eb_full = jnp.concatenate(
+                [eb, jnp.full(npad, np.int32(nblocks))])
+            params_2d, bids = aligned_sorted_layout(
+                eb_full, order, payloads, nblocks, block, nsub_pad)
             return upd(states, params_2d, bids)
 
         return fn
@@ -247,11 +302,12 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
     run over the (<=2) blocks it touches, lay out, and run the rect-mode
     Pallas splat.
 
-    Run enumeration uses the starts-cumsum trick: entry t maps to
-    (line, j) via searchsorted over the device-computed cumsum of per-
-    line run counts — so the entry budget scales with the REAL run count
-    (host-measured, ladder-bucketed into rmax_entries), not a worst-case
-    per-point bound.
+    Run enumeration and per-line value propagation are scatter+cumsum
+    passes (see module docs): run slot t gets its line id from a marker
+    prefix-sum over the device-computed run-count cumsum, and the four
+    raw per-line wire words are forward-filled to run resolution with the
+    telescoping-difference trick; per-run geometry is then recomputed
+    elementwise. No entry-resolution gathers remain.
     """
     W, H = cfg.width, cfg.height
     from .pallas_kernels import padded_width
@@ -270,6 +326,8 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
             info, cfg, nsub_pad, block, TH, "rect", False, interpret,
             two_d=True, wt=WT, h_pad=h_pad)
         i32 = lambda a: lax.bitcast_convert_type(a, jnp.int32)
+        E0 = nsub_pad * block          # rmax_entries*jmax + nblocks*block
+        npad = nblocks * block
 
         def fn(states, buf):
             # wire layout: [ctr? | e0 | e1 | value]; ctr (home-tile
@@ -278,30 +336,36 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
             off = B if multi_tile else 0
             e0 = buf[off:off + B]
             e1 = buf[off + B:off + 2 * B]
-            val = lax.bitcast_convert_type(buf[off + 2 * B:off + 3 * B],
-                                           jnp.float32)
-            ix0, iy0 = _unpack16(e0)
-            ix1, iy1 = _unpack16(e1)
-            live_l = iy0 != -32768
+            vw = buf[off + 2 * B:off + 3 * B]
+            ix0_l, iy0_l = _unpack16(e0)
+            ix1_l, iy1_l = _unpack16(e1)
+            live_l = iy0_l != -32768
+            nruns = jnp.where(live_l,
+                              jnp.minimum(jnp.abs(ix1_l - ix0_l),
+                                          jnp.abs(iy1_l - iy0_l)) + 1, 0)
+            starts = jnp.concatenate(
+                [jnp.zeros(1, nruns.dtype), jnp.cumsum(nruns)])
+            total = starts[-1]
+            t = jnp.arange(rmax_entries, dtype=jnp.int32)
+            live_r = t < total
+            # line id per run slot + the raw wire words at run resolution
+            # (scatter+cumsum; no searchsorted, no gathers)
+            pos = starts[:-1]
+            chans = [e0, e1, vw, starts[:-1].astype(jnp.int32)]
+            if multi_tile:
+                chans.append(buf[:B])
+            props = _propagate(pos, chans, rmax_entries)
+            e0_r, e1_r, vw_r, start_r = props[:4]
+            j = t - start_r
+            ix0, iy0 = _unpack16(e0_r)
+            ix1, iy1 = _unpack16(e1_r)
             ddx = jnp.abs(ix1 - ix0)
             ddy = jnp.abs(iy1 - iy0)
             sx = jnp.where(ix0 < ix1, 1, -1)
             sy = jnp.where(iy0 < iy1, 1, -1)
             xmaj = ddx >= ddy
-            dmaj = jnp.where(xmaj, ddx, ddy)
-            dmin = jnp.where(xmaj, ddy, ddx)
-            nruns = jnp.where(live_l, dmin + 1, 0)
-            starts = jnp.concatenate(
-                [jnp.zeros(1, nruns.dtype), jnp.cumsum(nruns)])
-            # entry t -> (line, j): line = last index with starts <= t
-            t = jnp.arange(rmax_entries, dtype=jnp.int32)
-            line = (jnp.searchsorted(starts[1:], t, side="right")
-                    .astype(jnp.int32))
-            linec = jnp.minimum(line, B - 1)
-            j = t - starts[linec]
-            live_r = t < starts[-1]
-            o = lambda a: a[linec]
-            o_dmaj, o_dmin = o(dmaj), o(dmin)
+            o_dmaj = jnp.where(xmaj, ddx, ddy)
+            o_dmin = jnp.where(xmaj, ddy, ddx)
             safe_dmin = jnp.maximum(o_dmin, 1)
             # staircase run j covers major steps [k0(j), k0(j+1)-1]
             # (routing._staircase_starts closed form)
@@ -310,25 +374,23 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
             k1 = jnp.where(j < o_dmin,
                            (o_dmaj * (2 * j + 1)) // (2 * safe_dmin),
                            o_dmaj)
-            o_xmaj = o(xmaj)
-            maj0 = jnp.where(o_xmaj, o(ix0), o(iy0))
-            smaj = jnp.where(o_xmaj, o(sx), o(sy))
+            maj0 = jnp.where(xmaj, ix0, iy0)
+            smaj = jnp.where(xmaj, sx, sy)
             p0 = maj0 + smaj * k0
             p1 = maj0 + smaj * k1
             lo = jnp.minimum(p0, p1)
             hi = jnp.maximum(p0, p1)
-            min0 = jnp.where(o_xmaj, o(iy0), o(ix0))
-            smin = jnp.where(o_xmaj, o(sy), o(sx))
+            min0 = jnp.where(xmaj, iy0, ix0)
+            smin = jnp.where(xmaj, sy, sx)
             minor = min0 + smin * j
-            ax = jnp.where(o_xmaj, lo, minor)
-            bx = jnp.where(o_xmaj, hi, minor)
-            ay = jnp.where(o_xmaj, minor, lo)
-            by = jnp.where(o_xmaj, minor, hi)
+            ax = jnp.where(xmaj, lo, minor)
+            bx = jnp.where(xmaj, hi, minor)
+            ay = jnp.where(xmaj, minor, lo)
+            by = jnp.where(xmaj, minor, hi)
             # clip to grid and the owner's home tile
             # (routing.line_rects / home_tile_ranges semantics)
             if multi_tile:
-                ocol, orow = _unpack16(buf[:B])
-                ocol, orow = o(ocol), o(orow)
+                ocol, orow = _unpack16(props[4])
                 cs = (ocol // tw) * tw
                 ce = jnp.minimum(cs + tw, W)
                 rs = (orow // th_tile) * th_tile
@@ -358,15 +420,21 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
             eb = jnp.where(live_e,
                            (rb0[:, None] + jr) * ncb + (cb0[:, None] + jc),
                            nblocks).reshape(-1).astype(jnp.int32)
-            ridx = jnp.broadcast_to(
-                jnp.arange(rmax_entries, dtype=jnp.int32)[:, None],
-                (rmax_entries, jmax)).reshape(-1)
-            f0r = (jnp.ones(B, jnp.float32)
-                   if rtype == ReductionType.Count else val)[linec]
-            segs = [ax, bx, ay, by, i32(f0r)]
-            fills = [0, -1, 0, -1, 0]   # ax>bx: dead interval
-            params_2d, bids = device_layout_2d(
-                eb, ridx, segs, fills, nblocks, block, nsub_pad)
+            f0r = i32(jnp.ones(rmax_entries, jnp.float32)
+                      if rtype == ReductionType.Count
+                      else lax.bitcast_convert_type(vw_r, jnp.float32))
+            segs = [ax, bx, ay, by, f0r]
+            fills = [0, -1, 0, -1, 0]   # ax > bx: dead interval
+            payloads = []
+            for s, f in zip(segs, fills):
+                plane = jnp.where(live_e, s[:, None], jnp.int32(f))
+                payloads.append(jnp.concatenate(
+                    [plane.reshape(-1), jnp.full(npad, np.int32(f))]))
+            order = jnp.arange(E0, dtype=jnp.int32)
+            eb_full = jnp.concatenate(
+                [eb, jnp.full(npad, np.int32(nblocks))])
+            params_2d, bids = aligned_sorted_layout(
+                eb_full, order, payloads, nblocks, block, nsub_pad)
             return upd(states, params_2d, bids)
 
         return fn

@@ -49,6 +49,7 @@ donate the state buffers, so ingest is pure device-resident accumulation.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -124,6 +125,31 @@ def _jax():
     import jax
     import jax.numpy as jnp
     return jax, jnp
+
+
+# Jitted update programs shared across engine instances. Every builder is a
+# pure function of (ReductionInfo singleton, grid geometry, static ints that
+# already live in the chunk keys), so two pipelines with the same config can
+# share one traced+compiled callable — without this, every new Pipeline
+# re-traces its whole bucket ladder, which through a remote-TPU tunnel costs
+# tens of seconds per run even with the persistent XLA cache hitting (the
+# trace itself plus cache round-trips dominate). Keyed by an engine
+# "namespace" fingerprint; bounded LRU so long test sessions with hundreds
+# of distinct tiny grids don't accumulate executables forever.
+_SHARED_JITS: "OrderedDict[tuple, dict]" = OrderedDict()
+_SHARED_JITS_CAP = 16
+
+
+def _shared_jit_namespace(ns_key: tuple) -> dict:
+    d = _SHARED_JITS.get(ns_key)
+    if d is None:
+        d = {}
+        _SHARED_JITS[ns_key] = d
+        while len(_SHARED_JITS) > _SHARED_JITS_CAP:
+            _SHARED_JITS.popitem(last=False)
+    else:
+        _SHARED_JITS.move_to_end(ns_key)
+    return d
 
 
 def matmul_precision():
@@ -611,15 +637,6 @@ class TpuEngine:
                         else self.W)
         self._states = []
         self._grid_shaped = []
-        self._jits = {}
-        # Lazy commit queue: staged chunks accumulate here and materialize
-        # as ONE fused jit call at the next state access (or finalize) —
-        # on a remote-attached device every dispatch costs a full RTT and
-        # the runtime executes synchronously, so deferring lets K ingests
-        # and the finalize ride a single dispatch.
-        self._pending = []
-        self._pending_cap = int(os.environ.get("PCR_PENDING_CAP", 12))
-        from .glyph import GlyphType
         # Point-sum specs default to the fused Pallas splat: with the
         # 3-limb bf16 contraction (exact for one-hot factors) it measures
         # 143 Mpts/s (Sum) / 69 Mpts/s (Average) on v5e at 5M points vs
@@ -628,6 +645,30 @@ class TpuEngine:
             self.pallas == "interpret"
             or (self.pallas == "compiled"
                 and os.environ.get("PCR_POINT_PALLAS", "1") == "1"))
+        # Everything a builder reads is captured here: grid geometry (the
+        # builders' only cfg dependencies), the per-spec ReductionInfo
+        # singletons (keyed by type), pallas mode, padded shapes, and the
+        # point-pallas toggle. Chunk keys carry the remaining statics
+        # (bucket, kmax, ...), so (namespace, chunk key) fully determines
+        # the traced program.
+        b = cfg.bounds
+        ns_key = (
+            cfg.width, cfg.height, cfg.tile_width, cfg.tile_height,
+            float(cfg.cell_size_x), float(cfg.cell_size_y),
+            float(b.min_x), float(b.min_y), float(b.max_x), float(b.max_y),
+            tuple((spec.glyph.type, info.type, info.state_floats)
+                  for spec, info in plans),
+            self.pallas, self.H_pad, self.W_state, self._point_pallas,
+        )
+        self._jits = _shared_jit_namespace(ns_key)
+        # Lazy commit queue: staged chunks accumulate here and materialize
+        # as ONE fused jit call at the next state access (or finalize) —
+        # on a remote-attached device every dispatch costs a full RTT and
+        # the runtime executes synchronously, so deferring lets K ingests
+        # and the finalize ride a single dispatch.
+        self._pending = []
+        self._pending_cap = int(os.environ.get("PCR_PENDING_CAP", 12))
+        from .glyph import GlyphType
         for spec, info in plans:
             self._pending.append([])
             glyph_t = GlyphType(spec.glyph.type)

@@ -723,21 +723,38 @@ class Pipeline:
                 return eng.prepare_point(i, cells, valid, values, weights,
                                          timestamps)
         if gt == GlyphType.Gaussian:
-            gp = routing.gaussian_params(
-                spec.glyph, cfg, x, y,
-                routing.glyph_channel(cloud, spec.glyph.sigma_x_channel),
-                routing.glyph_channel(cloud, spec.glyph.sigma_y_channel),
-                routing.glyph_channel(cloud, spec.glyph.rotation_channel))
+            sx_ch = routing.glyph_channel(cloud, spec.glyph.sigma_x_channel)
+            sy_ch = routing.glyph_channel(cloud, spec.glyph.sigma_y_channel)
+            rot_ch = routing.glyph_channel(cloud,
+                                           spec.glyph.rotation_channel)
+            if (glyph_wire and sx_ch is None and sy_ch is None
+                    and rot_ch is None
+                    and hasattr(eng, "prepare_gaussian_raw")):
+                # uniform-shape fast path: fused native world->wire pack,
+                # no per-point numpy glyph math on the (jittery) host
+                staged = eng.prepare_gaussian_raw(i, spec.glyph, x, y,
+                                                  valid, values)
+                if staged is not None:
+                    return staged
+            gp = routing.gaussian_params(spec.glyph, cfg, x, y, sx_ch,
+                                         sy_ch, rot_ch)
             try:
                 return eng.prepare_gaussian(i, gp, valid, values,
                                             wire_cheap=glyph_wire)
             except TypeError:   # engines without the wire_cheap knob
                 return eng.prepare_gaussian(i, gp, valid, values)
         if gt == GlyphType.Line:
-            lp = routing.line_params(
-                spec.glyph, cfg, x, y,
-                routing.glyph_channel(cloud, spec.glyph.direction_channel),
-                routing.glyph_channel(cloud, spec.glyph.half_length_channel))
+            dir_ch = routing.glyph_channel(cloud,
+                                           spec.glyph.direction_channel)
+            hl_ch = routing.glyph_channel(cloud,
+                                          spec.glyph.half_length_channel)
+            if (glyph_wire and dir_ch is None and hl_ch is None
+                    and hasattr(eng, "prepare_line_raw")):
+                staged = eng.prepare_line_raw(i, spec.glyph, x, y, valid,
+                                              values, col, row)
+                if staged is not None:
+                    return staged
+            lp = routing.line_params(spec.glyph, cfg, x, y, dir_ch, hl_ch)
             try:
                 return eng.prepare_line(i, lp, valid, values, col, row,
                                         wire_cheap=glyph_wire)

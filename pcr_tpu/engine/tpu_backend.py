@@ -1087,9 +1087,7 @@ class TpuEngine:
         """Hybrid Gaussian ingest: ship 12 B/point (16-20 with per-point
         sigma), expand + bucket on DEVICE (device_prep), run the same
         fused splat as the staged path. See device_prep module docs."""
-        from .device_prep import gaussian_wire_builder, pack_u16_pair
-        from .pallas_kernels import gauss_col_tile, padded_width
-        _, info = self.plans[spec_idx]
+        from .device_prep import pack_u16_pair
         n = len(values)
         values = np.asarray(values, dtype=np.float32)
         rot = bool(gp.rotated)
@@ -1102,17 +1100,8 @@ class TpuEngine:
             and (gp.sin_rot == gp.sin_rot.flat[0]).all()))
         if rot and not uniform:
             return None   # per-point rotated: host path
-        TH = ROT_ROW_BLOCK if rot else GAUSS_ROW_BLOCK
         rmax = self._wire_ladder(
             max(int(gp.r[valid].max()) if valid.any() else 1, 1))
-        WT = ROT_COL_TILE if rot else gauss_col_tile(self.W, rmax)
-        kmax = ((2 * rmax) // TH + 2) * ((2 * rmax) // WT + 2)
-        nrb = self.H_pad // TH
-        ncb = padded_width(self.W) // WT
-        nblocks = nrb * ncb
-        block = min(PALLAS_BLOCK, 2048)
-        budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 8 << 20))
-        max_pts = max(budget // kmax, CHUNK_BUCKETS[0])
         nsig = 0 if uniform else 2
         icxy = pack_u16_pair((np.where(valid, gp.icx, -32768)
                               & 0xFFFF).astype(np.int64),
@@ -1131,14 +1120,82 @@ class TpuEngine:
             if rot:
                 scal["cos_rot"] = float(gp.cos_rot.flat[0])
                 scal["sin_rot"] = float(gp.sin_rot.flat[0])
-        staged = []
-        for start, end in chunk_ranges(n, cap=max_pts):
-            b = bucket_size(min(end - start, max_pts))
+
+        def pack_chunk(start, end, b):
             sl = slice(start, end)
             segs = [(icxy[sl], np.int32(-32768 << 16)),
                     (subq[sl], 0), (values[sl], 0)]
             if nsig:
                 segs += [(gp.sx[sl], 1.0), (gp.sy[sl], 1.0)]
+            return self._pack(b, segs)
+
+        return self._gauss_wire_emit(spec_idx, n, rot, rmax, nsig, scal,
+                                     pack_chunk)
+
+    def prepare_gaussian_raw(self, spec_idx: int, glyph, x, y, valid,
+                             values):
+        """Uniform-shape hybrid Gaussian fast path: one fused native pass
+        from raw f64 world coords to the wire buffer, skipping
+        routing.gaussian_params entirely (its ~20 numpy passes dominate
+        hybrid ingest on a 1-core steal-jittery host). Byte-identical
+        wire and identical jit keys to _prepare_gaussian_wire, so the two
+        paths share compiled executables. Returns None when unsupported
+        (caller falls back to the gp-based path)."""
+        from .. import native
+        _, info = self.plans[spec_idx]
+        if not (self._wire_ok(info) and native.available()
+                and os.environ.get("PCR_WIRE_NATIVE", "1") == "1"):
+            return None
+        # scalar glyph params, computed with the numpy path's exact f32
+        # arithmetic (routing.gaussian_params on constant arrays)
+        inv_csx = 1.0 / self.cfg.cell_size_x
+        inv_csy = 1.0 / self.cfg.cell_size_y
+        sx = np.float32(glyph.default_sigma_x) * np.float32(inv_csx)
+        sy = np.float32(glyph.default_sigma_y) * np.float32(inv_csy)
+        rot_a = np.float32(glyph.default_rotation)
+        rotated = bool((rot_a != 0.0) and (np.abs(sx) != np.abs(sy)))
+        if rotated and self.pallas == "off":
+            return None
+        R = np.minimum(np.float32(3.0) * np.maximum(sx, sy),
+                       np.float32(glyph.max_radius_cells))
+        r = int(np.ceil(R).astype(np.int32))
+        n = len(values)
+        values = np.asarray(values, dtype=np.float32)
+        rmax = self._wire_ladder(max(r if valid.any() else 1, 1))
+        scal = {"max_radius": float(glyph.max_radius_cells)}
+        if n:
+            scal["sx"] = float(sx)
+            scal["sy"] = float(sy)
+            if rotated:
+                scal["cos_rot"] = float(np.cos(-rot_a))
+                scal["sin_rot"] = float(np.sin(-rot_a))
+
+        def pack_chunk(start, end, b):
+            return native.gauss_wire_pack(self.cfg, x, y, valid, values,
+                                          start, end, b)
+
+        return self._gauss_wire_emit(spec_idx, n, rotated, rmax, 0, scal,
+                                     pack_chunk)
+
+    def _gauss_wire_emit(self, spec_idx: int, n: int, rot: bool, rmax: int,
+                         nsig: int, scal: dict, pack_chunk):
+        """Shared tail of the Gaussian wire paths: chunking, jit keys,
+        builders. pack_chunk(start, end, bucket) -> packed host buffer."""
+        from .device_prep import gaussian_wire_builder
+        from .pallas_kernels import gauss_col_tile, padded_width
+        _, info = self.plans[spec_idx]
+        TH = ROT_ROW_BLOCK if rot else GAUSS_ROW_BLOCK
+        WT = ROT_COL_TILE if rot else gauss_col_tile(self.W, rmax)
+        kmax = ((2 * rmax) // TH + 2) * ((2 * rmax) // WT + 2)
+        nrb = self.H_pad // TH
+        ncb = padded_width(self.W) // WT
+        nblocks = nrb * ncb
+        block = min(PALLAS_BLOCK, 2048)
+        budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 8 << 20))
+        max_pts = max(budget // kmax, CHUNK_BUCKETS[0])
+        staged = []
+        for start, end in chunk_ranges(n, cap=max_pts):
+            b = bucket_size(min(end - start, max_pts))
             nsub_pad = -(-b * kmax // block) + nblocks
             key = ("gauss_wire", spec_idx, b, kmax, TH, WT, nsig, rot,
                    tuple(sorted((k, round(v, 9))
@@ -1150,7 +1207,8 @@ class TpuEngine:
                            info, self.cfg, b, kmax, TH, WT, nsub_pad, blk,
                            self.H_pad, scal, nsig, rot,
                            self.pallas == "interpret")())
-            staged.append(StagedChunk(key, self._put(self._pack(b, segs)),
+            staged.append(StagedChunk(key, self._put(pack_chunk(start, end,
+                                                                b)),
                                       builder, end - start))
         return staged
 
@@ -1159,9 +1217,7 @@ class TpuEngine:
         """Hybrid Line ingest: ship exact integer endpoints (12-16 B/pt),
         rebuild the staircase runs + bucket layout on DEVICE, run the
         rect-mode splat. Bit-exact vs the staged path."""
-        from .device_prep import line_wire_builder, pack_u16_pair
-        from .pallas_kernels import padded_width, rect_col_tile
-        _, info = self.plans[spec_idx]
+        from .device_prep import pack_u16_pair
         n = len(values)
         values = np.asarray(values, dtype=np.float32)
         if (max(abs(int(lp.ix0.min() if n else 0)),
@@ -1169,6 +1225,61 @@ class TpuEngine:
                 abs(int(lp.iy0.min() if n else 0)),
                 abs(int(lp.iy1.max() if n else 0))) >= 32000):
             return None
+        ddx = np.abs(lp.ix1.astype(np.int64) - lp.ix0)
+        ddy = np.abs(lp.iy1.astype(np.int64) - lp.iy0)
+        dmaj = np.maximum(ddx, ddy)
+        nruns = np.where(valid, np.minimum(ddx, ddy) + 1, 0)
+        runlen_max = int(dmaj.max()) + 1 if n else 1
+        e0 = pack_u16_pair((lp.ix0 & 0xFFFF).astype(np.int64),
+                           (np.where(valid, lp.iy0, -32768)
+                            & 0xFFFF).astype(np.int64))
+        e1 = pack_u16_pair((lp.ix1 & 0xFFFF).astype(np.int64),
+                           (lp.iy1 & 0xFFFF).astype(np.int64))
+        return self._line_wire_emit(spec_idx, n, values, e0, e1, nruns,
+                                    runlen_max, col, row)
+
+    def prepare_line_raw(self, spec_idx: int, glyph, x, y, valid, values,
+                         col, row):
+        """Uniform-shape hybrid Line fast path: one fused native pass from
+        raw f64 world coords to packed endpoints + run counts, skipping
+        routing.line_params (~15 numpy passes). The single direction's
+        cos/sin are computed here with numpy so endpoint bits match the
+        numpy/staged path exactly; identical jit keys. Returns None when
+        unsupported (caller falls back to the lp-based path)."""
+        from .. import native
+        _, info = self.plans[spec_idx]
+        if not (self._wire_ok(info) and native.available()
+                and os.environ.get("PCR_WIRE_NATIVE", "1") == "1"):
+            return None
+        n = len(values)
+        values = np.asarray(values, dtype=np.float32)
+        # scalar endpoint params with routing.line_params' f32 arithmetic
+        inv_csx = 1.0 / self.cfg.cell_size_x
+        inv_csy = 1.0 / self.cfg.cell_size_y
+        cap = np.float32(glyph.max_radius_cells)
+        hl = np.float32(glyph.default_half_length)
+        hx = np.minimum(hl * np.float32(inv_csx), cap)
+        hy = np.minimum(hl * np.float32(inv_csy), cap)
+        d = np.float32(glyph.default_direction)
+        cos_d = np.cos(d).astype(np.float32)
+        sin_d = np.sin(d).astype(np.float32)
+        e0, e1, nruns, max_abs, max_dmaj = native.line_endpoints(
+            self.cfg, x, y, valid, float(hx), float(hy), float(cos_d),
+            float(sin_d))
+        if max_abs >= 32000:
+            return None
+        runlen_max = max_dmaj + 1 if n else 1
+        return self._line_wire_emit(spec_idx, n, values, e0, e1,
+                                    nruns.astype(np.int64), runlen_max,
+                                    col, row)
+
+    def _line_wire_emit(self, spec_idx: int, n: int, values, e0, e1,
+                        nruns, runlen_max: int, col, row):
+        """Shared tail of the Line wire paths: run-budget chunking, jit
+        keys, builders."""
+        from .device_prep import line_wire_builder, pack_u16_pair
+        from .pallas_kernels import padded_width, rect_col_tile
+        _, info = self.plans[spec_idx]
         TH = GAUSS_ROW_BLOCK
         WT = rect_col_tile(self.W)
         nrb = self.H_pad // TH
@@ -1176,19 +1287,9 @@ class TpuEngine:
         nblocks = nrb * ncb
         block = PALLAS_BLOCK
         multi_tile = self.cfg.total_tiles() > 1
-        ddx = np.abs(lp.ix1.astype(np.int64) - lp.ix0)
-        ddy = np.abs(lp.iy1.astype(np.int64) - lp.iy0)
-        dmaj = np.maximum(ddx, ddy)
-        nruns = np.where(valid, np.minimum(ddx, ddy) + 1, 0)
-        runlen_max = int(dmaj.max()) + 1 if n else 1
         jmax = max(runlen_max // WT, runlen_max // TH) + 2
         budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 8 << 20))
         run_cap = max(budget // jmax, 1 << 16)
-        e0 = pack_u16_pair((lp.ix0 & 0xFFFF).astype(np.int64),
-                           (np.where(valid, lp.iy0, -32768)
-                            & 0xFFFF).astype(np.int64))
-        e1 = pack_u16_pair((lp.ix1 & 0xFFFF).astype(np.int64),
-                           (lp.iy1 & 0xFFFF).astype(np.int64))
         ctr = (pack_u16_pair((col & 0xFFFF).astype(np.int64),
                              (row & 0xFFFF).astype(np.int64))
                if multi_tile else None)

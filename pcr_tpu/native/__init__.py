@@ -17,6 +17,7 @@ import subprocess
 import numpy as np
 
 __all__ = ["available", "lib", "assign", "assign_cells", "fractional_cells",
+           "gauss_wire_pack", "line_endpoints",
            "lzw_encode", "lzw_decode"]
 
 _LIB = None
@@ -102,6 +103,15 @@ def _load():
     lib.pcr_line_runs_emit.argtypes = [i, i, i, i, u8] + [i] * 4 + \
         [ctypes.c_int64] + [i] * 5
     lib.pcr_line_runs_emit.restype = ctypes.c_int64
+    lib.pcr_gauss_wire_pack.argtypes = [
+        d, d, u8, f, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        i]
+    lib.pcr_line_endpoints.argtypes = [
+        d, d, ctypes.c_int64, u8,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        i, i, i, i64]
     lib.pcr_fin_avg.argtypes = [f, f, f, ctypes.c_int64]
     lib.pcr_fin_sentinel.argtypes = [f, f, ctypes.c_int64, ctypes.c_float]
     lib.pcr_fin_count.argtypes = [f, f, ctypes.c_int64]
@@ -209,6 +219,59 @@ def pack_point_wire(col, row, valid, values, weights, start: int, end: int,
                           start, end, bucket, width, sentinel, mode,
                           _ptr(out, ctypes.c_int32))
     return out
+
+
+def gauss_wire_pack(cfg, x, y, valid, values, start: int, end: int,
+                    bucket: int) -> np.ndarray:
+    """One-pass staging pack for the minimal-wire hybrid Gaussian layout
+    (uniform-shape case): raw f64 world coords -> padded
+    [icxy | subq | value] i32 device buffer for the [start, end) slice.
+    Byte-identical to tpu_backend._prepare_gaussian_wire's numpy chain."""
+    L = _load()
+    out = np.empty(3 * bucket, np.int32)
+    x = np.ascontiguousarray(x, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    if valid.dtype == np.bool_:
+        valid = valid.view(np.uint8)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    values = np.ascontiguousarray(values, np.float32)
+    L.pcr_gauss_wire_pack(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+                          _ptr(valid, ctypes.c_uint8),
+                          _ptr(values, ctypes.c_float),
+                          start, end, bucket,
+                          cfg.origin_x, cfg.origin_y,
+                          1.0 / cfg.cell_size_x, 1.0 / cfg.cell_size_y,
+                          _ptr(out, ctypes.c_int32))
+    return out
+
+
+def line_endpoints(cfg, x, y, valid, hx: float, hy: float,
+                   cos_d: float, sin_d: float):
+    """One-pass line endpoint math for the minimal-wire hybrid Line layout
+    (uniform-shape case). Returns (e0, e1, nruns, max_abs_coord,
+    max_dmaj) where e0/e1 are the packed u16-pair endpoint arrays of
+    routing.line_params + pack_u16_pair, nruns the per-point run counts,
+    and the scalars feed the 32000 wire guard / jmax chunking."""
+    L = _load()
+    n = len(x)
+    x = np.ascontiguousarray(x, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    if valid.dtype == np.bool_:
+        valid = valid.view(np.uint8)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    e0 = np.empty(n, np.int32)
+    e1 = np.empty(n, np.int32)
+    nruns = np.empty(n, np.int32)
+    stats = np.zeros(2, np.int64)
+    L.pcr_line_endpoints(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+                         n, _ptr(valid, ctypes.c_uint8),
+                         hx, hy, cos_d, sin_d,
+                         cfg.origin_x, cfg.origin_y,
+                         1.0 / cfg.cell_size_x, 1.0 / cfg.cell_size_y,
+                         _ptr(e0, ctypes.c_int32), _ptr(e1, ctypes.c_int32),
+                         _ptr(nruns, ctypes.c_int32),
+                         _ptr(stats, ctypes.c_int64))
+    return e0, e1, nruns, int(stats[0]), int(stats[1])
 
 
 def lzw_encode(data: bytes) -> bytes:

@@ -102,9 +102,9 @@ def _propagate(pos, channels, length):
     return outs
 
 
-def aligned_sorted_layout(eb, order, payloads, nblocks, block, nsub_pad):
-    """Group entries by block id into the kernel's (nsub, nseg, block)
-    layout with ONE payload-carrying sort.
+def aligned_sorted_planes(eb, order, payloads, nblocks, block, nsub_pad):
+    """Group entries by block id into whole-sub-chunk-aligned order with
+    ONE payload-carrying sort.
 
     eb:       (E0,) int32 entry block ids; dead entries carry nblocks.
               E0 == nsub_pad * block == raw entries + nblocks*block pad.
@@ -112,7 +112,13 @@ def aligned_sorted_layout(eb, order, payloads, nblocks, block, nsub_pad):
               incoming eb is ignored and reassigned here.
     order:    (E0,) int32 rank-preserving secondary key (entry index).
     payloads: list of (E0,) int32 planes, dead/pad slots already filled.
-    Returns (params_2d (nsub_pad, nseg*block) int32, bids (nsub_pad,)).
+    Returns (planes list of (nsub_pad, block) int32, bids (nsub_pad,)).
+
+    Payloads should be PACKED as tightly as possible (i16/u16 pairs in
+    one i32, packed wire words passed through verbatim): the sort is the
+    dominant device cost of the hybrid path and scales with the operand
+    count, while post-sort unpacking is one elementwise pass (measured on
+    v5e: 10-operand sort 397 ms vs 5-operand 204 ms at E0 = 8.4M).
     """
     import jax.numpy as jnp
     from jax import lax
@@ -138,9 +144,19 @@ def aligned_sorted_layout(eb, order, payloads, nblocks, block, nsub_pad):
          jnp.where(pad_live, pad_b, nblocks).astype(jnp.int32)])
     ops = lax.sort((eb_full, order) + tuple(payloads), num_keys=2)
     planes = [p.reshape(nsub_pad, block) for p in ops[2:]]
-    params_2d = jnp.stack(planes, axis=1).reshape(nsub_pad, -1)
     bids = jnp.clip(ops[0].reshape(nsub_pad, block)[:, 0],
                     0, nblocks - 1).astype(jnp.int32)
+    return planes, bids
+
+
+def aligned_sorted_layout(eb, order, payloads, nblocks, block, nsub_pad):
+    """aligned_sorted_planes, stacked into the kernel's
+    (nsub_pad, nseg*block) params layout (one payload per segment)."""
+    import jax.numpy as jnp
+
+    planes, bids = aligned_sorted_planes(eb, order, payloads, nblocks,
+                                         block, nsub_pad)
+    params_2d = jnp.stack(planes, axis=1).reshape(nsub_pad, -1)
     return params_2d, bids
 
 
@@ -225,27 +241,73 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
         E0 = nsub_pad * block          # B*kmax raw + nblocks*block pad
         npad = nblocks * block
 
+        DEAD = np.int32(-32768 << 16)   # dead icxy: icx == -32768
+
         def fn(states, buf):
-            icx, icy, live_p, sub_cx, sub_cy, val, extras = _decode_wire(
+            icx, icy, live_p, _scx, _scy, _val, extras = _decode_wire(
                 buf, B, nsig)
             if nsig:
-                sx, sy = extras[0], extras[1]
+                sx_p, sy_p = extras[0], extras[1]
             else:
-                sx = jnp.full(B, np.float32(scal["sx"]))
-                sy = jnp.full(B, np.float32(scal["sy"]))
-            R = jnp.minimum(np.float32(3.0) * jnp.maximum(sx, sy),
+                sx_p = jnp.full(B, np.float32(scal["sx"]))
+                sy_p = jnp.full(B, np.float32(scal["sy"]))
+            R = jnp.minimum(np.float32(3.0) * jnp.maximum(sx_p, sy_p),
                             np.float32(scal["max_radius"]))
-            r = jnp.ceil(R).astype(jnp.int32)
-            eb, live_e = _halo_expand(icx, icy, r, live_p, TH, WT,
+            r_p = jnp.ceil(R).astype(jnp.int32)
+            eb, live_e = _halo_expand(icx, icy, r_p, live_p, TH, WT,
                                       nrb, ncb, kmax)
-            f0 = (jnp.ones(B, jnp.float32)
-                  if rtype == ReductionType.Count else val)
+            # sort payloads are the PACKED wire words themselves (see
+            # aligned_sorted_planes): [icxy | subq | value (+ sx, sy)];
+            # dead/pad slots carry the dead icxy so every per-segment
+            # dead encoding can be reconstructed post-sort
+            raw = [buf[:B], buf[B:2 * B], buf[2 * B:3 * B]]
+            fills = [DEAD, np.int32(0), np.int32(0)]
+            if nsig:
+                raw += [buf[3 * B:4 * B], buf[4 * B:5 * B]]
+                fills += [f32b(1.0), f32b(1.0)]
+            payloads = []
+            for s, f in zip(raw, fills):
+                plane = jnp.where(live_e, s[:, None], jnp.int32(f))
+                payloads.append(jnp.concatenate(
+                    [plane.reshape(-1), jnp.full(npad, np.int32(f))]))
+            order = jnp.arange(E0, dtype=jnp.int32)
+            eb_full = jnp.concatenate(
+                [eb, jnp.full(npad, np.int32(nblocks))])
+            planes, bids = aligned_sorted_planes(
+                eb_full, order, payloads, nblocks, block, nsub_pad)
+            # post-sort unpack to the kernel's segment layout: one
+            # elementwise pass at entry resolution, bit-identical to the
+            # per-segment pre-sort broadcast it replaces (live entries
+            # see the same f32 ops on the same bits; dead/pad entries
+            # are masked by the kernel through r == -1)
+            icxy_s, subq_s, val_s = planes[0], planes[1], planes[2]
+            icx_s, icy_s = _unpack16(icxy_s)
+            live_s = icx_s != -32768
+            sub_cx = ((subq_s >> 16) & 0xFFFF).astype(jnp.float32) \
+                * np.float32(1.0 / SUB_Q)
+            sub_cy = (subq_s & 0xFFFF).astype(jnp.float32) \
+                * np.float32(1.0 / SUB_Q)
+            if nsig:
+                one = np.float32(1.0)
+                sx = jnp.where(live_s, lax.bitcast_convert_type(
+                    planes[3], jnp.float32), one)
+                sy = jnp.where(live_s, lax.bitcast_convert_type(
+                    planes[4], jnp.float32), one)
+            else:
+                sx = jnp.full_like(sub_cx, np.float32(scal["sx"]))
+                sy = jnp.full_like(sub_cx, np.float32(scal["sy"]))
+            R_s = jnp.minimum(np.float32(3.0) * jnp.maximum(sx, sy),
+                              np.float32(scal["max_radius"]))
+            r_s = jnp.where(live_s, jnp.ceil(R_s).astype(jnp.int32), -1)
+            f0 = (jnp.where(live_s, np.float32(1.0), np.float32(0.0))
+                  if rtype == ReductionType.Count
+                  else lax.bitcast_convert_type(val_s, jnp.float32))
             if rot:
                 # completed-square fold, mirroring the staged host path
                 # (tpu_backend.prepare_gaussian rot branch; algebra of
                 # glyph_kernels.cu:145-176)
-                cos_r = jnp.full(B, np.float32(scal["cos_rot"]))
-                sin_r = jnp.full(B, np.float32(scal["sin_rot"]))
+                cos_r = jnp.full_like(sub_cx, np.float32(scal["cos_rot"]))
+                sin_r = jnp.full_like(sub_cx, np.float32(scal["sin_rot"]))
                 inv_sx = np.float32(0.7071067811865476) / sx
                 inv_sy = np.float32(0.7071067811865476) / sy
                 c1 = cos_r * inv_sx
@@ -255,33 +317,20 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
                 A = c1 * c1 + c3 * c3
                 Bq = c1 * c2 + c3 * c4
                 C = c2 * c2 + c4 * c4
-                icx_f = icx.astype(jnp.float32)
-                icy_f = icy.astype(jnp.float32)
+                icx_f = icx_s.astype(jnp.float32)
+                icy_f = icy_s.astype(jnp.float32)
                 s_l2e = np.float32(1.2011224087864498)
                 segs = [i32(-(icx_f + sub_cx)), i32(-(icy_f + sub_cy)),
                         i32(Bq / C), i32(jnp.sqrt(C) * s_l2e),
                         i32(jnp.sqrt(jnp.maximum(A - Bq * Bq / C, 0.0))
                             * s_l2e),
                         i32(f0), i32(icx_f), i32(icy_f),
-                        i32(r.astype(jnp.float32))]
-                fills = [0, 0, 0, 0, 0, 0, 0, 0, f32b(-1.0)]
+                        i32(jnp.where(live_s, r_s.astype(jnp.float32),
+                                      np.float32(-1.0)))]
             else:
-                segs = [icx, icy, i32(sub_cx), i32(sub_cy),
-                        i32(sx), i32(sy), r, i32(f0)]
-                fills = [0, 0, 0, 0, f32b(1.0), f32b(1.0), -1, 0]
-            # entry payloads: broadcast each per-point segment across its
-            # kmax halo slots (a reshape copy, no gather), fill dead and
-            # pad slots with the segment's dead encoding
-            payloads = []
-            for s, f in zip(segs, fills):
-                plane = jnp.where(live_e, s[:, None], jnp.int32(f))
-                payloads.append(jnp.concatenate(
-                    [plane.reshape(-1), jnp.full(npad, np.int32(f))]))
-            order = jnp.arange(E0, dtype=jnp.int32)
-            eb_full = jnp.concatenate(
-                [eb, jnp.full(npad, np.int32(nblocks))])
-            params_2d, bids = aligned_sorted_layout(
-                eb_full, order, payloads, nblocks, block, nsub_pad)
+                segs = [icx_s, icy_s, i32(sub_cx), i32(sub_cy),
+                        i32(sx), i32(sy), r_s, i32(f0)]
+            params_2d = jnp.stack(segs, axis=1).reshape(nsub_pad, -1)
             return upd(states, params_2d, bids)
 
         return fn
@@ -423,8 +472,13 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
             f0r = i32(jnp.ones(rmax_entries, jnp.float32)
                       if rtype == ReductionType.Count
                       else lax.bitcast_convert_type(vw_r, jnp.float32))
-            segs = [ax, bx, ay, by, f0r]
-            fills = [0, -1, 0, -1, 0]   # ax > bx: dead interval
+            # sort payloads packed (see aligned_sorted_planes): rect
+            # coords are grid-clipped to [0, 32000) so (ax, ay) and
+            # (bx, by) ride as i16 pairs; dead fill (1,1)/(0,0) unpacks
+            # to the empty interval ax > bx
+            segs = [(ax << 16) | (ay & 0xFFFF), (bx << 16) | (by & 0xFFFF),
+                    f0r]
+            fills = [(1 << 16) | 1, 0, 0]
             payloads = []
             for s, f in zip(segs, fills):
                 plane = jnp.where(live_e, s[:, None], jnp.int32(f))
@@ -433,8 +487,13 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
             order = jnp.arange(E0, dtype=jnp.int32)
             eb_full = jnp.concatenate(
                 [eb, jnp.full(npad, np.int32(nblocks))])
-            params_2d, bids = aligned_sorted_layout(
+            planes, bids = aligned_sorted_planes(
                 eb_full, order, payloads, nblocks, block, nsub_pad)
+            ax_s, ay_s = _unpack16(planes[0])
+            bx_s, by_s = _unpack16(planes[1])
+            params_2d = jnp.stack(
+                [ax_s, bx_s, ay_s, by_s, planes[2]],
+                axis=1).reshape(nsub_pad, -1)
             return upd(states, params_2d, bids)
 
         return fn

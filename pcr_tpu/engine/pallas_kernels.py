@@ -297,6 +297,17 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 acc_dot = lambda a, b, exact_b=False: jax.lax.dot_general(
                     a, b, dims, precision=prec,
                     preferred_element_type=jnp.float32)
+        elif interpret:
+            # The 3-limb bf16 split below is an MXU trick; under interpret
+            # mode the kernel lowers through XLA:CPU, whose simplifier
+            # unsoundly folds convert(bf16, b - convert(f32, convert(bf16,
+            # b)))-style residuals to zero inside jit (measured: the b1/b2
+            # dots return exact 0 jitted, correct values eagerly). A plain
+            # HIGHEST f32 dot is bit-equal to the exact 3-limb result and
+            # immune to the rewrite.
+            acc_dot = lambda a, b, exact_b=False: jax.lax.dot_general(
+                a, b, dims, precision=prec,
+                preferred_element_type=jnp.float32)
         else:
             def acc_dot(a, b, exact_b=False):
                 a16 = a.astype(jnp.bfloat16)

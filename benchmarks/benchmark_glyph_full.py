@@ -75,6 +75,28 @@ MODES = {
     "hybrid": (pcr.ExecutionMode.Hybrid, False),
 }
 
+# minimal-wire bytes/point of the hybrid ingest (tpu_backend
+# _prepare_*_wire): points ship [cell|value], glyphs [icxy|subq|value]
+# (lines [e0|e1|value]); per-point sigma or multi-tile grids add planes
+WIRE_BYTES_PER_PT = {"point": 8}
+WIRE_BYTES_DEFAULT = 12
+
+
+def link_mbps():
+    """Measured H2D bandwidth of this session's link (fresh 24 MB puts;
+    jax caches fetched values, so each rep uses a new host array)."""
+    import jax
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        return 0.0
+    best = float("inf")
+    for i in range(3):
+        a = np.full((24 << 20) // 4, float(i), np.float32)
+        t0 = time.perf_counter()
+        jax.device_put(a, devs[0]).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return (24 << 20) / best / 1e6
+
 
 def run_cell(gc, cloud, spec, mode_name, repeats, out_dir):
     exec_mode, staged_mode = MODES[mode_name]
@@ -115,6 +137,9 @@ def main():
     args = ap.parse_args()
 
     gc = make_grid(args.grid)
+    mbps = link_mbps() if "hybrid" in args.modes else 0.0
+    if mbps:
+        print(f"measured H2D link: {mbps:.1f} MB/s")
     rows = []
     bench_start = time.perf_counter()
     with tempfile.TemporaryDirectory(prefix="pcr_bench_") as tmp:
@@ -127,15 +152,29 @@ def main():
                     best = run_cell(gc, cloud, spec, mode_name,
                                     args.repeats, tmp)
                     mpts = n / best / 1e6
+                    # hybrid rows are host-sourced: the wire itself bounds
+                    # throughput on a thin link; record that ceiling so
+                    # the fraction achieved is part of the artifact
+                    if mode_name == "hybrid" and mbps:
+                        bpp = WIRE_BYTES_PER_PT.get(label,
+                                                    WIRE_BYTES_DEFAULT)
+                        ceil = mbps / bpp
+                        pct = round(100 * mpts / ceil, 1)
+                        ceil = round(ceil, 2)
+                    else:
+                        ceil = pct = ""
                     rows.append((label, n, mode_name, round(best, 4),
-                                 round(mpts, 2)))
+                                 round(mpts, 2), ceil, pct))
+                    extra = (f"  (wire ceiling {ceil} Mpts/s, {pct}%)"
+                             if ceil else "")
                     print(f"{label:12s} N={n:>9d} {mode_name:10s} "
-                          f"best {best:8.3f}s  {mpts:8.2f} Mpts/s",
+                          f"best {best:8.3f}s  {mpts:8.2f} Mpts/s{extra}",
                           flush=True)
 
     with open(args.csv, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["glyph", "points", "mode", "best_seconds", "mpts_per_s"])
+        w.writerow(["glyph", "points", "mode", "best_seconds", "mpts_per_s",
+                    "wire_ceiling_mpts", "pct_of_wire_ceiling"])
         w.writerows(rows)
     print(f"\nwrote {args.csv}  "
           f"(total {time.perf_counter() - bench_start:.0f}s)")

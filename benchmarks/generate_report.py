@@ -186,8 +186,21 @@ def load_rows(paths):
     return rows
 
 
+def wire_rows(rows):
+    """(glyph, N, mpts, ceiling, pct) for hybrid rows that carry the
+    measured wire-ceiling columns (benchmark_glyph_full.py)."""
+    out = []
+    for r in rows:
+        if r.get("mode") == "hybrid" and r.get("pct_of_wire_ceiling"):
+            out.append((r["glyph"], int(r["points"]),
+                        float(r["mpts_per_s"]),
+                        float(r["wire_ceiling_mpts"]),
+                        float(r["pct_of_wire_ceiling"])))
+    return out
+
+
 def build_markdown(by_glyph, points, modes, lidar_rows, bench,
-                   mesh_rows=()):
+                   mesh_rows=(), wires=()):
     lines = ["# PCR-TPU benchmark report", ""]
     lines.append("## Throughput (Mpts/s)")
     header = ["glyph"] + [f"N={fmt_n(n)} {m}" for n in points for m in modes]
@@ -212,6 +225,21 @@ def build_markdown(by_glyph, points, modes, lidar_rows, bench,
         best = max(vals)
         lines.append(f"| {glyph} | {best:.2f} | {base:.2f} "
                      f"| {best / base:.2f}x |")
+
+    if wires:
+        lines += ["", "## Hybrid (host-sourced) rows vs this link's wire "
+                  "ceiling", "",
+                  "The hybrid pipeline streams a minimal wire record per "
+                  "point over the host link (8 B points, 12 B glyphs); on "
+                  "this tunnel the wire itself bounds throughput, so the "
+                  "fraction of that ceiling is the engineering figure of "
+                  "merit (the reference's Hybrid rides a PCIe link ~200x "
+                  "wider).", ""]
+        lines.append("| glyph | N | Mpts/s | wire ceiling | % of ceiling |")
+        lines.append("|---|---|---|---|---|")
+        for g, n, v, c, p in wires:
+            lines.append(f"| {g} | {fmt_n(n)} | {v:.2f} | {c:.2f} "
+                         f"| {p:.0f}% |")
 
     if lidar_rows:
         lines += ["", "## LiDAR streaming pipeline (mode comparison)", ""]
@@ -365,7 +393,7 @@ def main():
 
     with open(args.output, "w") as f:
         f.write(build_markdown(by_glyph, points, modes, lidar_rows, bench,
-                               mesh_rows))
+                               mesh_rows, wire_rows(rows)))
     print(f"wrote {args.output}")
     if args.html:
         with open(args.html, "w") as f:

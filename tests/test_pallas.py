@@ -146,3 +146,44 @@ def test_line_rect_pallas_per_point_tiled(monkeypatch):
     assert (np.isnan(a) == np.isnan(b)).all()
     m = ~np.isnan(a)
     assert np.abs(a[m] - b[m]).max() <= 1e-5 + 1e-5 * np.abs(a[m]).max()
+
+
+def test_rect_interpret_dot_full_precision(monkeypatch):
+    """Regression: under interpret mode the rect/point contraction must
+    carry full f32 value precision. XLA:CPU's simplifier folds the 3-limb
+    bf16 residual dots to exact zero inside jit at production shapes
+    (the kernel then truncates every accumulated value to 8 mantissa
+    bits, ~4e-3 relative); interpret mode therefore uses a HIGHEST f32
+    dot, which is bit-equal to the intended exact 3-limb result. The
+    small shapes above don't trigger the rewrite — this runs at one
+    that does (30k points, 300x300 grid)."""
+    gc = make_grid_config(w=300.0, h=300.0)
+    n = 30_000
+    rng = np.random.default_rng(7)
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(0, 300, n))
+    c.set_y_array(rng.uniform(0, 300, n))
+    c.add_channel("v", pcr.DataType.Float32)
+    c.set_channel_array_f32("v", rng.random(n).astype(np.float32))
+    spec = pcr.line_splat_spec("v", default_direction=0.7,
+                               default_half_length=4.0)
+    spec.type = RT.Sum
+    import copy
+
+    def run_cloud(mode, pallas):
+        monkeypatch.setenv("PCR_PALLAS", "interpret" if pallas else "0")
+        cfg = pcr.PipelineConfig()
+        cfg.grid = gc
+        cfg.reductions = [copy.deepcopy(spec)]
+        cfg.exec_mode = mode
+        p = pcr.Pipeline.create(cfg)
+        p.ingest(c)
+        p.finalize()
+        return p.result().band_array(0).copy()
+
+    a = run_cloud(pcr.ExecutionMode.CPU, False)
+    b = run_cloud(pcr.ExecutionMode.GPU, True)
+    assert (np.isnan(a) == np.isnan(b)).all()
+    m = ~np.isnan(a)
+    rel = np.abs(a[m] - b[m]) / np.maximum(np.abs(a[m]), 1e-12)
+    assert float(rel.max()) <= 1e-5

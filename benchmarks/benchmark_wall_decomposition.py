@@ -96,8 +96,12 @@ def main():
 
     out["d2h_strips_s"] = min(fetch_strips_fresh(i) for i in range(R))
 
-    out["h2d_4mb_s"] = best(
-        lambda: jax.device_put(band_host, dev).block_until_ready())
+    def h2d_once(i):
+        a = band_host + np.float32(i + 1)   # fresh host buffer per rep
+        t0 = time.perf_counter()
+        jax.device_put(a, dev).block_until_ready()
+        return time.perf_counter() - t0
+    out["h2d_4mb_s"] = min(h2d_once(i) for i in range(R))
 
     # --- host encode --------------------------------------------------------------
     import tempfile

@@ -78,7 +78,11 @@ def test_all_dead_chunk_still_defines_every_block():
     eb = np.full(8, nblocks, np.int32)
     plane, bids, nsub = layout(eb, nblocks, block)
     assert set(bids.tolist()) == {0, 1, 2}
-    assert (plane <= 0).all()
+    # the first nblocks sub-chunks are the per-block pad rows (payload
+    # fill); the raw dead entries ride behind them, payloads verbatim
+    assert (plane[:nblocks] == 0).all()
+    assert sorted(v for row in plane[nblocks:] for v in row
+                  if v > 0) == list(range(1, 9))
 
 
 def test_pack_unpack_roundtrip():

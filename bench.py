@@ -78,7 +78,7 @@ def wait_for_device():
         "jax.device_put(np.ones(256, np.float32), d[0]));"
         "t0=time.time(); np.asarray(y); assert time.time()-t0 < 5.0")
     deadline = time.monotonic() + float(os.environ.get("PCR_BENCH_WAIT",
-                                                       1800))
+                                                       3600))
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", probe],

@@ -154,8 +154,11 @@ def aligned_sorted_planes(eb, order, payloads, nblocks, block, nsub_pad):
          jnp.where(pad_live, pad_b, nblocks).astype(jnp.int32)])
     ops = lax.sort((eb_full, order) + tuple(payloads), num_keys=2)
     planes = [p.reshape(nsub_pad, block) for p in ops[2:]]
-    bids = jnp.clip(ops[0].reshape(nsub_pad, block)[:, 0],
-                    0, nblocks - 1).astype(jnp.int32)
+    # all-dead sub-chunks keep the sentinel nblocks: the kernel aliases
+    # them onto the last block (no flush boundary — dead rows are a
+    # sorted suffix) and predicates their whole body off, skipping the
+    # splat work for the ~(kmax-1)/kmax halo-expansion dead fraction
+    bids = ops[0].reshape(nsub_pad, block)[:, 0].astype(jnp.int32)
     return planes, bids
 
 

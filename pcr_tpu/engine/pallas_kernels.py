@@ -125,17 +125,30 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     # required for the parity bar (DEFAULT would bf16-round the values).
     prec = jax.lax.Precision.HIGHEST
 
+    H_pad = h_pad if h_pad else round_up(H, TH)
+    # bids may carry the sentinel nb_total for all-dead sub-chunks (the
+    # hybrid wire layout sorts dead/ladder-padding entries behind every
+    # live block): those rows alias the LAST block's index (no flush
+    # boundary, and the pad machinery guarantees that block a live row)
+    # and the kernel body is predicated off entirely — at kmax=4 halo
+    # expansion ~60% of sub-chunks are dead, so this skips ~60% of the
+    # splat work. Host-staged layouts never pass the sentinel.
+    nb_total = (H_pad // TH) * (ncb if two_d else 1)
+
     def kernel(bids_ref, params_ref, *refs):
         st_refs = refs[:nf]
         out_refs = refs[nf:2 * nf]
         i = pl.program_id(0)
         prev = bids_ref[jnp.maximum(i - 1, 0)]
         first = jnp.logical_or(i == 0, bids_ref[i] != prev)
+        alive = bids_ref[i] < nb_total
+        first = jnp.logical_and(first, alive)
+        bid = jnp.minimum(bids_ref[i], nb_total - 1)
         if two_d:
-            row0 = (bids_ref[i] // ncb) * TH
-            col0 = (bids_ref[i] % ncb) * WT
+            row0 = (bid // ncb) * TH
+            col0 = (bid % ncb) * WT
         else:
-            row0 = bids_ref[i] * TH
+            row0 = bid * TH
             col0 = 0
 
         if mode == "rot":
@@ -219,11 +232,15 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 return accs
 
             assert block % UNROLL == 0
-            accs = jax.lax.fori_loop(
-                0, block // UNROLL, body,
-                tuple(jnp.zeros((TH, WT), jnp.float32) for _ in range(nf)))
-            for f in range(nf):
-                out_refs[f][:] += accs[f]
+
+            @pl.when(alive)
+            def _():
+                accs = jax.lax.fori_loop(
+                    0, block // UNROLL, body,
+                    tuple(jnp.zeros((TH, WT), jnp.float32)
+                          for _ in range(nf)))
+                for f in range(nf):
+                    out_refs[f][:] += accs[f]
             return
 
         # params block: (1, nseg, block); column-vector (block, 1) views
@@ -328,43 +345,47 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 out_refs[f][:] = st_refs[f][:]
 
         # column tiles: generate factors in VMEM, matmul, accumulate
-        for wt in range(nwt):
-            ws_i = (jax.lax.broadcasted_iota(jnp.int32, (block, WT), 1)
-                    + col0 + wt * WT)
-            if mode == "rect":
-                wx = ((ws_i >= r_ax) & (ws_i <= r_bx)).astype(jnp.float32)
-            elif mode == "point":
-                wx = (ws_i == icx_c).astype(jnp.float32)
-            else:
-                rdx = (ws_i.astype(jnp.float32)
-                       - icx_c.astype(jnp.float32)) - sub_cx
-                qx = rdx / sx
-                wx = jnp.exp(-0.5 * qx * qx)
-                mx = (jnp.abs(ws_i - icx_c) <= rr) & (wx >= 1e-6)
-                mx &= ws_i < W
-                if multi_tile:
-                    colc = jnp.clip(icx_c, 0, W - 1)
-                    cs = (colc // tw) * tw
-                    ce = jnp.minimum(cs + tw, W)
-                    mx &= (ws_i >= cs) & (ws_i < ce)
-                wx = jnp.where(mx, wx, 0.0)
-
-            sl = pl.ds(wt * WT, WT)
-            out_refs[0][:, sl] += acc_dot(wy, wx * f0)
-            if nf == 2:
-                if with_f1:
-                    out_refs[1][:, sl] += acc_dot(wy, wx * f1)
+        @pl.when(alive)
+        def _():
+            for wt in range(nwt):
+                ws_i = (jax.lax.broadcasted_iota(jnp.int32, (block, WT), 1)
+                        + col0 + wt * WT)
+                if mode == "rect":
+                    wx = ((ws_i >= r_ax)
+                          & (ws_i <= r_bx)).astype(jnp.float32)
+                elif mode == "point":
+                    wx = (ws_i == icx_c).astype(jnp.float32)
                 else:
-                    out_refs[1][:, sl] += acc_dot(wy, wx, exact_b=True)
+                    rdx = (ws_i.astype(jnp.float32)
+                           - icx_c.astype(jnp.float32)) - sub_cx
+                    qx = rdx / sx
+                    wx = jnp.exp(-0.5 * qx * qx)
+                    mx = (jnp.abs(ws_i - icx_c) <= rr) & (wx >= 1e-6)
+                    mx &= ws_i < W
+                    if multi_tile:
+                        colc = jnp.clip(icx_c, 0, W - 1)
+                        cs = (colc // tw) * tw
+                        ce = jnp.minimum(cs + tw, W)
+                        mx &= (ws_i >= cs) & (ws_i < ce)
+                    wx = jnp.where(mx, wx, 0.0)
 
-    H_pad = h_pad if h_pad else round_up(H, TH)
+                sl = pl.ds(wt * WT, WT)
+                out_refs[0][:, sl] += acc_dot(wy, wx * f0)
+                if nf == 2:
+                    if with_f1:
+                        out_refs[1][:, sl] += acc_dot(wy, wx * f1)
+                    else:
+                        out_refs[1][:, sl] += acc_dot(wy, wx, exact_b=True)
+
     state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)
+    clamp = lambda b: jnp.minimum(b, nb_total - 1)
     if two_d:
         state_spec = lambda: pl.BlockSpec(
-            (TH, WT), lambda i, bids: (bids[i] // ncb, bids[i] % ncb))
+            (TH, WT),
+            lambda i, bids: (clamp(bids[i]) // ncb, clamp(bids[i]) % ncb))
     else:
         state_spec = lambda: pl.BlockSpec(
-            (TH, W_pad), lambda i, bids: (bids[i], 0))
+            (TH, W_pad), lambda i, bids: (clamp(bids[i]), 0))
 
     # (1, nseg, block): middle dim equals the array dim and the lane dim
     # is 128-aligned, satisfying Mosaic block constraints. Rot params go

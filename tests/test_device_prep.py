@@ -70,14 +70,16 @@ def test_dead_entries_sort_behind_live_blocks():
             assert not seen_dead_row
         if vals - live:
             seen_dead_row = True
-    assert bids.min() >= 0 and bids.max() <= nblocks - 1
+    # dead rows carry the sentinel nblocks (kernel predicates them off);
+    # live rows carry real block ids
+    assert bids.min() >= 0 and bids.max() <= nblocks
 
 
 def test_all_dead_chunk_still_defines_every_block():
     nblocks, block = 3, 4
     eb = np.full(8, nblocks, np.int32)
     plane, bids, nsub = layout(eb, nblocks, block)
-    assert set(bids.tolist()) == {0, 1, 2}
+    assert set(bids.tolist()) == {0, 1, 2, nblocks}
     # the first nblocks sub-chunks are the per-block pad rows (payload
     # fill); the raw dead entries ride behind them, payloads verbatim
     assert (plane[:nblocks] == 0).all()

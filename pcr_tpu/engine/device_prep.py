@@ -91,15 +91,19 @@ def _propagate(pos, channels, length):
     telescoped cumsum reproduces the exact source bits even mid-overflow
     (safe for bitcast f32 payloads); coincident starts (zero-length runs)
     accumulate their diffs at one slot and telescope through.
+
+    All channels ride ONE batched scatter and ONE batched cumsum (the
+    scatter is the serialized op on TPU; batching amortizes its pass
+    over every channel instead of paying it per channel).
     """
     import jax.numpy as jnp
 
-    outs = []
-    for c in channels:
-        d = jnp.concatenate([c[:1], c[1:] - c[:-1]])
-        m = jnp.zeros(length, jnp.int32).at[pos].add(d, mode="drop")
-        outs.append(jnp.cumsum(m))
-    return outs
+    c = jnp.stack(channels)                       # (K, B)
+    d = jnp.concatenate([c[:, :1], c[:, 1:] - c[:, :-1]], axis=1)
+    m = jnp.zeros((c.shape[0], length), jnp.int32).at[:, pos].add(
+        d, mode="drop")
+    out = jnp.cumsum(m, axis=1)
+    return [out[k] for k in range(c.shape[0])]
 
 
 def aligned_sorted_planes(eb, order, payloads, nblocks, block, nsub_pad):

@@ -106,7 +106,7 @@ def _propagate(pos, channels, length):
     return [out[k] for k in range(c.shape[0])]
 
 
-def aligned_sorted_planes(eb, order, payloads, nblocks, block, nsub_pad):
+def aligned_sorted_planes(eb, payloads, nblocks, block, nsub_pad):
     """Group entries by block id into whole-sub-chunk-aligned order with
     ONE payload-carrying sort.
 
@@ -114,8 +114,11 @@ def aligned_sorted_planes(eb, order, payloads, nblocks, block, nsub_pad):
               E0 == nsub_pad * block == raw entries + nblocks*block pad.
               The trailing nblocks*block slots are the pad region: their
               incoming eb is ignored and reassigned here.
-    order:    (E0,) int32 rank-preserving secondary key (entry index).
     payloads: list of (E0,) int32 planes, dead/pad slots already filled.
+              Entry order within a block is preserved (the sort is
+              stable), matching the host-bucketing layout bit-for-bit —
+              an explicit arange tiebreaker key would be redundant (and
+              costs a full extra sort operand).
     Returns (planes list of (nsub_pad, block) int32, bids (nsub_pad,)).
 
     Payloads should be PACKED as tightly as possible (i16/u16 pairs in
@@ -156,8 +159,9 @@ def aligned_sorted_planes(eb, order, payloads, nblocks, block, nsub_pad):
     eb_full = jnp.concatenate(
         [eb[:raw],
          jnp.where(pad_live, pad_b, nblocks).astype(jnp.int32)])
-    ops = lax.sort((eb_full, order) + tuple(payloads), num_keys=2)
-    planes = [p.reshape(nsub_pad, block) for p in ops[2:]]
+    ops = lax.sort((eb_full,) + tuple(payloads), num_keys=1,
+                   is_stable=True)
+    planes = [p.reshape(nsub_pad, block) for p in ops[1:]]
     # all-dead sub-chunks keep the sentinel nblocks: the kernel aliases
     # them onto the last block (no flush boundary — dead rows are a
     # sorted suffix) and predicates their whole body off, skipping the
@@ -166,12 +170,12 @@ def aligned_sorted_planes(eb, order, payloads, nblocks, block, nsub_pad):
     return planes, bids
 
 
-def aligned_sorted_layout(eb, order, payloads, nblocks, block, nsub_pad):
+def aligned_sorted_layout(eb, payloads, nblocks, block, nsub_pad):
     """aligned_sorted_planes, stacked into the kernel's
     (nsub_pad, nseg*block) params layout (one payload per segment)."""
     import jax.numpy as jnp
 
-    planes, bids = aligned_sorted_planes(eb, order, payloads, nblocks,
+    planes, bids = aligned_sorted_planes(eb, payloads, nblocks,
                                          block, nsub_pad)
     params_2d = jnp.stack(planes, axis=1).reshape(nsub_pad, -1)
     return params_2d, bids
@@ -287,11 +291,10 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
                 plane = jnp.where(live_e, s[:, None], jnp.int32(f))
                 payloads.append(jnp.concatenate(
                     [plane.reshape(-1), jnp.full(npad, np.int32(f))]))
-            order = jnp.arange(E0, dtype=jnp.int32)
             eb_full = jnp.concatenate(
                 [eb, jnp.full(npad, np.int32(nblocks))])
             planes, bids = aligned_sorted_planes(
-                eb_full, order, payloads, nblocks, block, nsub_pad)
+                eb_full, payloads, nblocks, block, nsub_pad)
             # post-sort unpack to the kernel's segment layout: one
             # elementwise pass at entry resolution, bit-identical to the
             # per-segment pre-sort broadcast it replaces (live entries
@@ -501,11 +504,10 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
                 plane = jnp.where(live_e, s[:, None], jnp.int32(f))
                 payloads.append(jnp.concatenate(
                     [plane.reshape(-1), jnp.full(npad, np.int32(f))]))
-            order = jnp.arange(E0, dtype=jnp.int32)
             eb_full = jnp.concatenate(
                 [eb, jnp.full(npad, np.int32(nblocks))])
             planes, bids = aligned_sorted_planes(
-                eb_full, order, payloads, nblocks, block, nsub_pad)
+                eb_full, payloads, nblocks, block, nsub_pad)
             ax_s, ay_s = _unpack16(planes[0])
             bx_s, by_s = _unpack16(planes[1])
             params_2d = jnp.stack(

@@ -20,10 +20,9 @@ def layout(eb_np, nblocks, block):
     nsub_pad = E0 // block
     eb = jnp.concatenate([jnp.asarray(eb_np, jnp.int32),
                           jnp.full(npad, np.int32(nblocks))])
-    order = jnp.arange(E0, dtype=jnp.int32)
     payload = jnp.concatenate([jnp.arange(raw, dtype=jnp.int32) + 1,
                                jnp.zeros(npad, jnp.int32)])
-    planes, bids = aligned_sorted_planes(eb, order, [payload], nblocks,
+    planes, bids = aligned_sorted_planes(eb, [payload], nblocks,
                                          block, nsub_pad)
     return (np.asarray(planes[0]), np.asarray(bids), nsub_pad)
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import enum
 import math
+import os
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -390,12 +392,49 @@ def tpu_is_compiled() -> bool:
         return False
 
 
+_TPU_PROBE = {"done": False, "devices": []}
+
+
 def _tpu_devices():
-    import jax
-    try:
-        return [d for d in jax.devices() if d.platform not in ("cpu",)]
-    except Exception:
-        return []
+    """Accelerator device list, probed once per process WITH A TIMEOUT.
+
+    jax.devices() creates the backend client on first call; on a wedged
+    remote-TPU link (half-open tunnel) that creation can block forever
+    inside the plugin's C API, which would freeze Pipeline.create instead
+    of engaging the CPU fallback ladder (the analogue of
+    cuda_device_available, types.h:156-219, can never hang). The probe
+    runs in a daemon thread and gives up after PCR_TPU_PROBE_TIMEOUT
+    seconds (default 120 — first contact over a healthy tunnel plus
+    backend init is well under that); a timed-out probe reports "no
+    device" and is never retried in this process. The abandoned thread
+    parks on the backend lock, which is safe in the fallback regime: the
+    numpy CPU backend makes no further JAX calls."""
+    if _TPU_PROBE["done"]:
+        return _TPU_PROBE["devices"]
+    import threading
+
+    def probe():
+        import jax
+        try:
+            devs = [d for d in jax.devices()
+                    if d.platform not in ("cpu",)]
+        except Exception:
+            devs = []
+        _TPU_PROBE["devices"] = devs
+
+    timeout = float(os.environ.get("PCR_TPU_PROBE_TIMEOUT", "120"))
+    t = threading.Thread(target=probe, daemon=True,
+                         name="pcr-tpu-probe")
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        warnings.warn(
+            "pcr_tpu: accelerator probe (jax.devices) did not answer in "
+            f"{timeout:.0f}s — treating the device as unavailable "
+            "(tune with PCR_TPU_PROBE_TIMEOUT)")
+        _TPU_PROBE["devices"] = []
+    _TPU_PROBE["done"] = True
+    return _TPU_PROBE["devices"]
 
 
 def tpu_device_available() -> bool:

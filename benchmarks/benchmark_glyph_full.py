@@ -84,11 +84,22 @@ WIRE_BYTES_DEFAULT = 12
 
 def link_mbps():
     """Measured H2D bandwidth of this session's link (fresh 24 MB puts;
-    jax caches fetched values, so each rep uses a new host array)."""
+    jax caches fetched values, so each rep uses a new host array).
+
+    The axon tunnel journals device ops optimistically: before the first
+    device->host fetch of the process, `device_put(..).block_until_ready()`
+    returns as soon as the bytes are journaled locally (~1.5 GB/s
+    illusory), NOT when the terminal has them.  The first fetch forces a
+    flush and flips every later op to honest synchronous reporting
+    (~50 MB/s on this link).  So: fetch once first, then measure."""
     import jax
+    import jax.numpy as jnp
     devs = [d for d in jax.devices() if d.platform != "cpu"]
     if not devs:
         return 0.0
+    # flip the journal into synchronous (truth-reporting) mode
+    np.asarray(jax.jit(jnp.sum)(jax.device_put(
+        np.ones(256, np.float32), devs[0])))
     best = float("inf")
     for i in range(3):
         a = np.full((24 << 20) // 4, float(i), np.float32)

@@ -85,11 +85,12 @@ def main():
                   range(0, 1000, 250)]
 
     def fetch_strips_fresh(i):
+        # NOTE: no copy_to_host_async here — on the axon tunnel one call
+        # permanently degrades every later transfer in the process ~30x
+        # (see tpu_backend.start_d2h); plain in-order asarray is what the
+        # production finalize does on this platform.
         ys = [fresh(s, i) for s in strips_src]
         t0 = time.perf_counter()
-        for y in ys:
-            if hasattr(y, "copy_to_host_async"):
-                y.copy_to_host_async()
         for y in ys:
             np.asarray(y)
         return time.perf_counter() - t0

@@ -127,6 +127,28 @@ def _jax():
     return jax, jnp
 
 
+def start_d2h(arr) -> None:
+    """Kick off an async device→host copy for `arr` — when it's safe.
+
+    On a direct-attached TPU, `copy_to_host_async()` lets the caller
+    overlap D2H with host-side work (encode, checkpoint writes).  On the
+    axon remote-TPU tunnel it is ruinous: one call permanently degrades
+    EVERY subsequent transfer in the process ~30x (measured 25 MB H2D
+    0.017s → 0.5s, and the first post-call transfer 5s+), which round 2
+    mis-read as a slow link.  So async D2H is opt-in on axon and
+    default-on elsewhere; `PCR_ASYNC_D2H=0/1` overrides either way."""
+    env = os.environ.get("PCR_ASYNC_D2H", "")
+    if env == "0" or not hasattr(arr, "copy_to_host_async"):
+        return
+    if env != "1":
+        try:
+            if arr.devices().pop().platform == "axon":
+                return
+        except Exception:
+            pass
+    arr.copy_to_host_async()
+
+
 # Jitted update programs shared across engine instances. Every builder is a
 # pure function of (ReductionInfo singleton, grid geometry, static ints that
 # already live in the chunk keys), so two pipelines with the same config can
@@ -1632,8 +1654,7 @@ class TpuEngine:
                             *(c.buf for c in staged))
         self._states[spec_idx] = states
         for s in strips:
-            if hasattr(s, "copy_to_host_async"):
-                s.copy_to_host_async()
+            start_d2h(s)
         return [(a, b, s) for (a, b), s in zip(ranges, strips)]
 
     def finalize_packed_async(self, spec_idx: int, with_state: bool = False):
@@ -1676,8 +1697,7 @@ class TpuEngine:
         states, packed = fn(self._states[spec_idx],
                             *(c.buf for c in staged))
         self._states[spec_idx] = states
-        if hasattr(packed, "copy_to_host_async"):
-            packed.copy_to_host_async()
+        start_d2h(packed)
         return packed
 
     # -- one-shot ingest ---------------------------------------------------------

@@ -207,6 +207,8 @@ def main():
                          "power-law core across tiles)")
     ap.add_argument("--extent", type=float, default=4000.0)
     ap.add_argument("--cell", type=float, default=1.0)
+    ap.add_argument("--synthesize-only", action="store_true",
+                    help="generate the dataset and exit (no pipeline run)")
     ap.add_argument("--modes", nargs="+", default=["tpu"],
                     choices=list(MODE_MAP))
     ap.add_argument("--value-channel", default="z")
@@ -225,6 +227,8 @@ def main():
         synthesize(args.input, args.synthesize,
                    pts_per_file=args.pts_per_file, skew=args.skew,
                    extent=args.extent)
+    if args.synthesize_only:
+        return
 
     files = sorted(sum((glob.glob(os.path.join(args.input, pat))
                         for pat in ("*.las", "*.laz", "*.pcrp", "*.csv")),

@@ -117,8 +117,10 @@ class PipelineConfig:
     #   (single-threaded by design for determinism); the reference's
     #   OpenMP thread count has no analogue here.
     hybrid_cpu_threads: int = 0
-    # ^ COMPAT-ONLY, ignored: Hybrid host routing overlaps upload via a
-    #   fixed 2-worker pipeline sized to the wire, not a thread pool.
+    # ^ Hybrid prep-worker count. 0 = auto: 2 overlap workers on
+    #   multi-core hosts, serial prep on 1-2 core hosts (where thread
+    #   contention loses to the transfer layer's own async overlap).
+    #   1 forces serial, >=2 forces that many overlap workers.
 
     # Multi-chip scale-out (TPU-native extension; the reference is
     # single-device). Any of these engages the ShardedTpuEngine: state is
@@ -796,8 +798,10 @@ class Pipeline:
         # routing proceed while slice k+1's upload blocks on the wire (the
         # upload releases the GIL). This is the TPU-native form of the
         # reference's producer/consumer Hybrid mode (pipeline.cpp:785-1152).
-        from concurrent.futures import ThreadPoolExecutor
-
+        # On 1-2 core hosts the pool only adds GIL/scheduler contention —
+        # device_put is already asynchronous (the transfer layer drains in
+        # the background), so serial prep+commit IS overlapped with the
+        # wire there.
         def prep(rng_):
             a, b = rng_
             sl = slice(a, b)
@@ -809,7 +813,15 @@ class Pipeline:
                 wire_cheap=True)
 
         ranges = chunk_ranges(n)
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        workers = int(self.config.hybrid_cpu_threads)
+        if workers <= 0:
+            workers = 2 if (os.cpu_count() or 1) >= 4 else 1
+        if workers <= 1 or len(ranges) == 1:
+            for r in ranges:
+                self._engine.commit(i, prep(r))
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             futs = [ex.submit(prep, r) for r in ranges]
             for fut in futs:
                 self._engine.commit(i, fut.result())

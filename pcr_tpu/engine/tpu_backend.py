@@ -1570,10 +1570,18 @@ class TpuEngine:
             self.flush_pending(spec_idx)
 
     def flush_pending(self, spec_idx: int | None = None) -> None:
-        """Materialize queued chunks: one fused jit call per spec, applying
-        every queued chunk's update sequentially in a single program. Keys
-        are the tuple of chunk keys, so the compile set stays bounded by
-        the bucket ladder."""
+        """Materialize queued chunks: one jit call PER CHUNK, each keyed by
+        the chunk's own (bucket-ladder) key.
+
+        Earlier rounds fused all queued chunks into one program keyed by
+        the tuple of chunk keys to save dispatch round-trips — but every
+        novel multiset of chunk keys (3x2M vs 5x1M, a different tail
+        bucket, ...) then recompiled a fresh ~50-80 s program through the
+        remote tunnel, and those combined programs never hit the
+        persistent cache across differently-chunked runs.  Dispatches on
+        the journaling tunnel pipeline without per-call round-trips, so
+        per-chunk dispatch costs ~nothing and the compiled-program set
+        stays exactly the bucket ladder (all persistent-cacheable)."""
         import jax
         specs = (range(len(self.plans)) if spec_idx is None else [spec_idx])
         for i in specs:
@@ -1581,28 +1589,12 @@ class TpuEngine:
             if not staged:
                 continue
             self._pending[i] = []
-            if len(staged) == 1:
-                chunk = staged[0]
+            for chunk in staged:
                 fn = self._jits.get(chunk.key)
                 if fn is None:
                     fn = jax.jit(chunk.builder(), donate_argnums=(0,))
                     self._jits[chunk.key] = fn
                 self._states[i] = fn(self._states[i], chunk.buf)
-                continue
-            key = ("multi", tuple(c.key for c in staged))
-            fn = self._jits.get(key)
-            if fn is None:
-                fns = [c.builder() for c in staged]
-
-                def combined(states, *bufs, _fns=tuple(fns)):
-                    for f, b in zip(_fns, bufs):
-                        states = f(states, b)
-                    return states
-
-                fn = jax.jit(combined, donate_argnums=(0,))
-                self._jits[key] = fn
-            self._states[i] = fn(self._states[i],
-                                 *(c.buf for c in staged))
 
     def finalize_strips(self, spec_idx: int, strip_rows: int = 256,
                         with_state: bool = False):
@@ -1621,23 +1613,21 @@ class TpuEngine:
         1154-1363)."""
         import jax
         _, info = self.plans[spec_idx]
-        staged = self._pending[spec_idx]
-        self._pending[spec_idx] = []
+        # per-chunk dispatches keep the finalize program's key independent
+        # of the pending-chunk history (one cacheable program per
+        # (spec, strip_rows, with_state) instead of one per chunk multiset)
+        self.flush_pending(spec_idx)
         H, W = self.H, self.W
         ranges = [(a, min(a + strip_rows, H))
                   for a in range(0, H, strip_rows)]
-        key = ("finstrips", spec_idx, tuple(c.key for c in staged),
-               strip_rows, with_state)
+        key = ("finstrips", spec_idx, strip_rows, with_state)
         fn = self._jits.get(key)
         if fn is None:
             import jax.numpy as jnp
-            fns = tuple(c.builder() for c in staged)
             grid_shaped = self._grid_shaped[spec_idx]
             C = self.C
 
-            def combined(states, *bufs):
-                for f, b in zip(fns, bufs):
-                    states = f(states, b)
+            def combined(states):
                 if with_state:
                     planes = jnp.stack(
                         [(s[:H, :W] if grid_shaped
@@ -1650,8 +1640,7 @@ class TpuEngine:
 
             fn = jax.jit(combined, donate_argnums=(0,))
             self._jits[key] = fn
-        states, strips = fn(self._states[spec_idx],
-                            *(c.buf for c in staged))
+        states, strips = fn(self._states[spec_idx])
         self._states[spec_idx] = states
         for s in strips:
             start_d2h(s)
@@ -1670,19 +1659,18 @@ class TpuEngine:
         import jax
         import jax.numpy as jnp
         _, info = self.plans[spec_idx]
-        staged = self._pending[spec_idx]
-        self._pending[spec_idx] = []
+        # per-chunk dispatches first: the packed-finalize program is then
+        # one cacheable executable per (spec, with_state) regardless of
+        # how the run's ingest happened to be chunked
+        self.flush_pending(spec_idx)
         H, W = self.H, self.W
-        key = ("finpack", spec_idx, tuple(c.key for c in staged), with_state)
+        key = ("finpack", spec_idx, with_state)
         fn = self._jits.get(key)
         if fn is None:
-            fns = tuple(c.builder() for c in staged)
             grid_shaped = self._grid_shaped[spec_idx]
             C = self.C
 
-            def combined(states, *bufs):
-                for f, b in zip(fns, bufs):
-                    states = f(states, b)
+            def combined(states):
                 if with_state:
                     planes = [(s[:H, :W] if grid_shaped
                                else s[:C].reshape(H, W)) for s in states]
@@ -1694,8 +1682,7 @@ class TpuEngine:
 
             fn = jax.jit(combined, donate_argnums=(0,))
             self._jits[key] = fn
-        states, packed = fn(self._states[spec_idx],
-                            *(c.buf for c in staged))
+        states, packed = fn(self._states[spec_idx])
         self._states[spec_idx] = states
         start_d2h(packed)
         return packed

@@ -171,13 +171,26 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
             # SMEM (all segments pre-converted to f32 host-side), so the
             # ~10 per-point reads are scalar-core loads instead of a VMEM
             # staging pass plus dynamic-slice lane extracts.
+            #
+            # Measured at VPU-throughput peak on v5e (~35 Mpts/s at
+            # sigma 4, invariant under op trimming, accumulator rotation,
+            # exp2 removal, and scalar-load hoisting — each probed <|6%|).
+            # A lane-packed variant (4 points per (TH, WT) pass, one
+            # 32-lane slot each, slot-constant param vectors, pltpu.roll
+            # to shift each window to its true column) was implemented and
+            # benched at 14.6 vs 35.4 Mpts/s: Mosaic's dynamic lane
+            # rotate costs more than the 4x lane-waste it removes. The
+            # remaining structural win would be bucketing entries at
+            # quarter-tile granularity so four DIFFERENT points' windows
+            # land in the four 32-lane slots of one pass natively (no
+            # roll), at the cost of a slot-interleaved layout pass.
             @pl.when(first)
             def _():
                 for f in range(nf):
                     out_refs[f][:] = st_refs[f][:]
 
-            hs_f = (jax.lax.broadcasted_iota(jnp.int32, (TH, WT), 0)
-                    + row0).astype(jnp.float32)
+            hs_col = (jax.lax.broadcasted_iota(jnp.int32, (TH, 1), 0)
+                      + row0).astype(jnp.float32)
             ws1_i = jax.lax.broadcasted_iota(jnp.int32, (1, WT), 1) + col0
             ws1 = ws1_i.astype(jnp.float32)
             lane_ok = ws1_i < W                      # (1, WT)
@@ -189,7 +202,11 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
             def one_point(p, accs):
                 gf = lambda j: params_ref[0, j, p]
                 icx_f, icy_f, r_f = gf(6), gf(7), gf(8)
-                # (1, WT) lane-only half: dx, shear, col masks
+                # (1, WT) lane-only half: dx, shear, col masks. Everything
+                # row-independent is precomputed here, pre-scaled by sC,
+                # and carried NEGATED so the 2-D loop below spends its
+                # (TH, WT) ops only on: add, square, subtract, cutoff
+                # compare, select, exp2, and the two accumulate FMAs.
                 dx = ws1 + gf(0)                     # (ws - icx) - sub_cx
                 u = dx * gf(4)                       # sA2·dx
                 col_ok = (jnp.abs(ws1 - icx_f) <= r_f) & lane_ok
@@ -198,10 +215,10 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                     cs = jnp.floor(colc / tw) * tw
                     col_ok &= (ws1 >= cs) & (ws1 < jnp.minimum(
                         cs + tw, float(W)))
-                gq = jnp.where(col_ok, u * u, INF)   # poisoned dx half
-                # shear shift + row offset folded into one lane vector:
-                # dy' = (hs - icy - sub_cy) + s·dx = hs + (s·dx + yoff)
-                sdx = dx * gf(2) + gf(1)
+                # poisoned negated dx half: -u² live, -inf dead
+                gq = jnp.where(col_ok, -(u * u), -INF)
+                # shear shift + row offset, pre-scaled: sC·(s·dx + yoff)
+                sdx_sC = (dx * gf(2) + gf(1)) * gf(3)
                 rlo, rhi = icy_f - r_f, icy_f + r_f
                 if multi_tile:
                     rowc = jnp.clip(icy_f, 0.0, row_lim)
@@ -211,15 +228,21 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                         rs + th_tile - 1, row_lim))
                 else:
                     rhi = jnp.minimum(rhi, row_lim)
-                v = (hs_f + sdx) * gf(3)             # sC·dy'
-                q2 = v * v + gq
-                # q2 is in log2 units (sqrt(log2 e) folded into sC/sA2
-                # host-side): cutoff w>=1e-6 <=> q2 <= ln(1e6)*log2(e);
-                # out-of-window and out-of-grid cells route q2 -> +inf so
-                # exp2 yields an exact 0 (keeps the empty-cell NaN
-                # semantics bit-clean)
-                ok = (q2 <= 19.931569) & (hs_f >= rlo) & (hs_f <= rhi)
-                w = jnp.exp2(-jnp.where(ok, q2, INF))
+                # (TH, 1) row half: rows outside [rlo, rhi] poisoned to
+                # +inf BEFORE the sC scale (sC > 0), so v and v² go +inf
+                # and q2n -> -inf there — the row mask costs TH ops, not
+                # TH*WT as the previous three (TH, WT) compares did
+                rm = (hs_col >= rlo) & (hs_col <= rhi)
+                hsC = jnp.where(rm, hs_col, INF) * gf(3)
+                # negated completed square: q2n = -(sA2·dx)² - (sC·dy')²
+                # with dy' = hs + s·dx + yoff (q2 in log2 units, the
+                # sqrt(log2 e) folded into sC/sA2 host-side); cutoff
+                # w>=1e-6 <=> q2n >= -ln(1e6)·log2(e). Dead cells carry
+                # q2n = -inf so exp2 yields an exact 0 (keeps the
+                # empty-cell NaN semantics bit-clean).
+                v = hsC + sdx_sC                     # (TH, WT) broadcast
+                q2n = gq - v * v
+                w = jnp.exp2(jnp.where(q2n >= -19.931569, q2n, -INF))
                 out = [accs[0] + gf(5) * w]
                 if nf == 2:
                     out.append(accs[1] + w)

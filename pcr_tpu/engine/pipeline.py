@@ -890,7 +890,14 @@ class Pipeline:
                     continue
                 planes = info.state_floats if need_state else 1
                 worst = max(worst, planes * cfg.height * cfg.width * 4)
-            if worst <= pack_max:
+            # With an encoded output the streamed path wins earlier: the
+            # LZW encode of strip k-1 rides the iowait of strip k's
+            # fetch, so anything big enough for >=2 strips overlaps
+            # encode with transfer instead of paying them in sequence.
+            stream_min = int(os.environ.get(
+                "PCR_STREAM_MIN_BYTES",
+                str(2 << 20) if self.config.output_path else str(pack_max)))
+            if worst <= min(pack_max, 2 * stream_min - 1):
                 return self._finalize_packed(need_state)
             return self._finalize_streamed(need_state)
         if self._engine is not None:
@@ -1042,12 +1049,23 @@ class Pipeline:
                 packed_dev[i] = eng.finalize_packed_async(i, need_state)
         all_touched = (len(self._touched_tiles)
                        == cfg.tiles_x * cfg.tiles_y)
+        # prefetch every spec's packed result concurrently: on the tunnel
+        # a fetch doesn't start until something blocks on it, so spec
+        # i+1's transfer otherwise waits for spec i's encode
+        fetches = {}
+        if len(packed_dev) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pf = ThreadPoolExecutor(max_workers=2)
+            fetches = {i: pf.submit(np.asarray, d)
+                       for i, d in packed_dev.items()}
+            pf.shutdown(wait=False)
         for i, (spec, info) in enumerate(self._plans):
             if info.scatter_kind == "collect":
                 grid.set_band_array(i, self._collect_band(i, spec),
                                     copy=False)
                 continue
-            host = np.asarray(packed_dev[i])
+            host = (fetches[i].result() if i in fetches
+                    else np.asarray(packed_dev[i]))
             if need_state:
                 fields = [host[k] for k in range(info.state_floats)]
                 self._write_state_tiles(i, fields)
@@ -1125,6 +1143,18 @@ class Pipeline:
         all_touched = (len(self._touched_tiles)
                        == cfg.tiles_x * cfg.tiles_y)
         ex = ThreadPoolExecutor(max_workers=1)
+        # Strip prefetch pool: without it, strip k+1's D2H does not even
+        # START until strip k's np.asarray returns (async D2H is a no-op
+        # on the tunnel — see tpu_backend.start_d2h), so every strip pays
+        # the full round-trip serially.  Two fetch threads keep the wire
+        # busy (they sit in iowait, not on the GIL) while the main thread
+        # consumes strips in order and the writer thread LZW-encodes.
+        fetch_ex = ThreadPoolExecutor(max_workers=2)
+        strip_futs = {
+            i: [fetch_ex.submit(np.asarray, dev)
+                for (_, _, dev) in strips]
+            for i, strips in strips_per_spec.items()}
+        fetch_ex.shutdown(wait=False)
         futures = []
         bands = []
         try:
@@ -1144,8 +1174,9 @@ class Pipeline:
                 fields = ([np.empty((cfg.height, cfg.width), np.float32)
                            for _ in range(info.state_floats)]
                           if need_state else None)
-                for (r0, r1, dev) in strips_per_spec[i]:
-                    host = np.asarray(dev)
+                for (r0, r1, dev), fut in zip(strips_per_spec[i],
+                                              strip_futs[i]):
+                    host = fut.result()
                     if need_state:
                         for k in range(info.state_floats):
                             fields[k][r0:r1] = host[k]

@@ -149,3 +149,28 @@ def test_hybrid_wire_repeat_ingest_stable_keys():
     twice = p.result().band_array(0)
     assert np.allclose(np.nan_to_num(twice), 2 * np.nan_to_num(once),
                        rtol=1e-6, atol=1e-6)
+
+
+def test_commit_programs_keyed_per_chunk_not_per_multiset():
+    """Multi-chunk ingests must not mint programs keyed by the multiset of
+    chunk keys: through a remote tunnel every novel combination was a
+    fresh ~50-80 s compile that never hit the persistent cache across
+    differently-chunked runs. The compiled set must stay the bucket
+    ladder (per-chunk keys) plus pending-independent finalize programs."""
+    gc = make_grid_config(w=128.0, h=128.0)
+    spec = pcr.ReductionSpec(value_channel="value",
+                             type=pcr.ReductionType.Average)
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [spec]
+    cfg.exec_mode = pcr.ExecutionMode.Hybrid
+    cfg.chunk_size = 300          # 1000 points -> 4 chunks
+    p = pcr.Pipeline.create(cfg)
+    p.ingest(_cloud(1000, 128.0))
+    p.finalize()
+    for key in p._engine._jits:
+        head = key[0] if isinstance(key, tuple) else key
+        assert head != "multi", f"multiset-keyed commit program: {key}"
+        if head in ("finstrips", "finpack"):
+            assert not any(isinstance(part, tuple) for part in key), (
+                f"finalize program keyed by chunk history: {key}")

@@ -463,6 +463,23 @@ def _nsub_bucket(k: int) -> int:
     return ((k + 255) // 256) * 256
 
 
+def gauss_product_cutoff_bites(r, sx, sy) -> bool:
+    """True when the square +-r window can contain cells that the
+    reference's PRODUCT weight cutoff (w >= 1e-6, glyph_kernels.cu's
+    `if (weight < 1e-6f) continue`) drops: the separable factorization
+    can only mask per axis (wx >= 1e-6 AND wy >= 1e-6), so window
+    corners with qx^2 + qy^2 > -2 ln(1e-6) would survive it wrongly.
+    Such chunks must use the dense quadratic-form kernel, whose cutoff
+    IS the product cutoff. Worst case |dq| <= (r + 1)/sigma per axis
+    (sub-cell offset < 1 cell); bites only for small sigma — the 3-sigma
+    window stays inside the cutoff ellipse from about sigma >= 1.7."""
+    qx = (np.asarray(r, np.float64) + 1.0) / np.maximum(
+        np.abs(np.asarray(sx, np.float64)), 1e-30)
+    qy = (np.asarray(r, np.float64) + 1.0) / np.maximum(
+        np.abs(np.asarray(sy, np.float64)), 1e-30)
+    return bool(np.any(qx * qx + qy * qy > 27.631021))
+
+
 def _build_gaussian_rotated_update(info: ReductionInfo, cfg: GridConfig,
                                    bucket: int, rmax: int):
     """Exact rotated-Gaussian splat: masked (2r+1)^2 window expansion +
@@ -1113,6 +1130,10 @@ class TpuEngine:
         n = len(values)
         values = np.asarray(values, dtype=np.float32)
         rot = bool(gp.rotated)
+        # small-sigma chunks take the dense decode for the same reason the
+        # staged path does: only it implements the product weight cutoff
+        dense = rot or (valid.any() and gauss_product_cutoff_bites(
+            gp.r[valid], gp.sx[valid], gp.sy[valid]))
         # uniform-shape detection: no per-point segments when every point
         # shares sigma/rotation (the common default_sigma case)
         uniform = bool(n == 0 or (
@@ -1139,9 +1160,10 @@ class TpuEngine:
         if uniform and n:
             scal["sx"] = float(gp.sx.flat[0])
             scal["sy"] = float(gp.sy.flat[0])
-            if rot:
-                scal["cos_rot"] = float(gp.cos_rot.flat[0])
-                scal["sin_rot"] = float(gp.sin_rot.flat[0])
+        if dense and n:
+            # rotation is uniform here (0 when merely small-sigma)
+            scal["cos_rot"] = float(gp.cos_rot.flat[0]) if rot else 1.0
+            scal["sin_rot"] = float(gp.sin_rot.flat[0]) if rot else 0.0
 
         def pack_chunk(start, end, b):
             sl = slice(start, end)
@@ -1151,7 +1173,7 @@ class TpuEngine:
                 segs += [(gp.sx[sl], 1.0), (gp.sy[sl], 1.0)]
             return self._pack(b, segs)
 
-        return self._gauss_wire_emit(spec_idx, n, rot, rmax, nsig, scal,
+        return self._gauss_wire_emit(spec_idx, n, dense, rmax, nsig, scal,
                                      pack_chunk)
 
     def prepare_gaussian_raw(self, spec_idx: int, glyph, x, y, valid,
@@ -1176,11 +1198,14 @@ class TpuEngine:
         sy = np.float32(glyph.default_sigma_y) * np.float32(inv_csy)
         rot_a = np.float32(glyph.default_rotation)
         rotated = bool((rot_a != 0.0) and (np.abs(sx) != np.abs(sy)))
-        if rotated and self.pallas == "off":
-            return None
         R = np.minimum(np.float32(3.0) * np.maximum(sx, sy),
                        np.float32(glyph.max_radius_cells))
         r = int(np.ceil(R).astype(np.int32))
+        # dense decode when rotated OR when the product cutoff bites the
+        # square window (small sigma; see gauss_product_cutoff_bites)
+        dense = rotated or gauss_product_cutoff_bites(r, sx, sy)
+        if dense and self.pallas == "off":
+            return None
         n = len(values)
         values = np.asarray(values, dtype=np.float32)
         rmax = self._wire_ladder(max(r if valid.any() else 1, 1))
@@ -1188,15 +1213,17 @@ class TpuEngine:
         if n:
             scal["sx"] = float(sx)
             scal["sy"] = float(sy)
-            if rotated:
-                scal["cos_rot"] = float(np.cos(-rot_a))
-                scal["sin_rot"] = float(np.sin(-rot_a))
+            if dense:
+                scal["cos_rot"] = (float(np.cos(-rot_a))
+                                   if rotated else 1.0)
+                scal["sin_rot"] = (float(np.sin(-rot_a))
+                                   if rotated else 0.0)
 
         def pack_chunk(start, end, b):
             return native.gauss_wire_pack(self.cfg, x, y, valid, values,
                                           start, end, b)
 
-        return self._gauss_wire_emit(spec_idx, n, rotated, rmax, 0, scal,
+        return self._gauss_wire_emit(spec_idx, n, dense, rmax, 0, scal,
                                      pack_chunk)
 
     def _gauss_wire_emit(self, spec_idx: int, n: int, rot: bool, rmax: int,
@@ -1369,7 +1396,14 @@ class TpuEngine:
         r = np.where(valid, gp.r, np.int32(-1)).astype(np.int32)
         values = np.asarray(values, dtype=np.float32)
         rtype = ReductionType(info.type)
-        if gp.rotated and self.pallas != "off":
+        # small-sigma chunks must also take the dense kernel: its cutoff
+        # is the reference's product cutoff, which the separable
+        # factorization cannot express (see gauss_product_cutoff_bites)
+        dense = bool(gp.rotated) or (valid.any() and
+                                     gauss_product_cutoff_bites(
+                                         r[valid], gp.sx[valid],
+                                         gp.sy[valid]))
+        if dense and self.pallas != "off":
             # Dense rotated splat: 2-D bucketing over short (ROT_ROW_BLOCK)
             # row blocks, each point evaluating its exact quadratic form
             # over the (TH, WT) tile in the Pallas kernel. ~100x the
@@ -1428,7 +1462,7 @@ class TpuEngine:
                                            False, len(segs), E, two_d=True,
                                            wt=WT)
             return [StagedChunk(key, self._put(buf), builder, n)]
-        if gp.rotated:
+        if dense:
             staged = []
             for start, end in chunk_ranges(n):
                 b = bucket_size(end - start)

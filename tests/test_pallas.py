@@ -187,3 +187,45 @@ def test_rect_interpret_dot_full_precision(monkeypatch):
     m = ~np.isnan(a)
     rel = np.abs(a[m] - b[m]) / np.maximum(np.abs(a[m]), 1e-12)
     assert float(rel.max()) <= 1e-5
+
+
+@pytest.mark.parametrize("sigma", [0.5, 1.0])
+@pytest.mark.parametrize("mode", [pcr.ExecutionMode.GPU,
+                                  pcr.ExecutionMode.Hybrid])
+def test_small_sigma_product_cutoff(monkeypatch, sigma, mode):
+    """Regression (pattern scene02): the reference drops cells where the
+    PRODUCT weight exp(-(qx^2+qy^2)/2) < 1e-6, which the separable
+    per-axis factorization cannot express — at sigma <~ 1.7 the square
+    3-sigma window pokes outside the cutoff ellipse and corner cells
+    survived wrongly (NaN/value mismatches vs the oracle). Small-sigma
+    chunks must route to the dense quadratic-form kernel. Checks the
+    NaN footprint exactly and values to the reference's own CPU<->GPU
+    bar (1e-4)."""
+    monkeypatch.setenv("PCR_PALLAS", "interpret")
+    gc = make_grid_config(w=120.0, h=100.0)
+    n = 4000
+    rng = np.random.default_rng(11)
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(0, 120, n))
+    c.set_y_array(rng.uniform(0, 100, n))
+    c.add_channel("v", pcr.DataType.Float32)
+    c.set_channel_array_f32("v", rng.uniform(1, 2, n).astype(np.float32))
+    spec = pcr.gaussian_splat_spec("v", default_sigma=sigma)
+    import copy
+
+    def run_cloud(m):
+        cfg = pcr.PipelineConfig()
+        cfg.grid = gc
+        cfg.reductions = [copy.deepcopy(spec)]
+        cfg.exec_mode = m
+        p = pcr.Pipeline.create(cfg)
+        p.ingest(c)
+        p.finalize()
+        return p.result().band_array(0).copy()
+
+    a = run_cloud(pcr.ExecutionMode.CPU)
+    b = run_cloud(mode)
+    assert (np.isnan(a) == np.isnan(b)).all(), (
+        f"footprint (cutoff) mismatch: {int((np.isnan(a) != np.isnan(b)).sum())} cells")
+    m_ = ~np.isnan(a)
+    assert float(np.abs(a[m_] - b[m_]).max()) <= 1e-4

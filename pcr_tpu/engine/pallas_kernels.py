@@ -175,15 +175,21 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
             # Measured at VPU-throughput peak on v5e (~35 Mpts/s at
             # sigma 4, invariant under op trimming, accumulator rotation,
             # exp2 removal, and scalar-load hoisting — each probed <|6%|).
-            # A lane-packed variant (4 points per (TH, WT) pass, one
-            # 32-lane slot each, slot-constant param vectors, pltpu.roll
-            # to shift each window to its true column) was implemented and
-            # benched at 14.6 vs 35.4 Mpts/s: Mosaic's dynamic lane
-            # rotate costs more than the 4x lane-waste it removes. The
-            # remaining structural win would be bucketing entries at
-            # quarter-tile granularity so four DIFFERENT points' windows
-            # land in the four 32-lane slots of one pass natively (no
-            # roll), at the cost of a slot-interleaved layout pass.
+            # Two lane-packing variants (4 points per (TH, WT) pass, one
+            # 32-lane slot each, every per-point scalar becoming a
+            # slot-constant lane vector) were implemented and benched:
+            # via pltpu.roll 14.6 Mpts/s, via a slot-interleaved
+            # quarter-tile host layout (roll-free, bit-identical results)
+            # 12.5 Mpts/s — BOTH lose 3x to this unpacked kernel.  The
+            # structure itself wins: stubbing the slot-vector
+            # construction with constants measured 156.9 Mpts/s (4.4x).
+            # The entire loss is constructing ~10 lane-VARYING vectors
+            # per 4-point group (4 scalar broadcasts + 3 selects each):
+            # the unpacked kernel's per-point ops take their scalars as
+            # near-free scalar operands, and ~10 per-entry quantities are
+            # algebraically irreducible, so lane packing cannot win until
+            # Mosaic grows a cheap lane-replication primitive (e.g.
+            # repeat of a 4-value group to 32-lane slots).
             @pl.when(first)
             def _():
                 for f in range(nf):

@@ -8,8 +8,10 @@ ships 12-20 B/point and rebuilds the layout on device. Contract:
   * Gaussian hybrid matches the CPU oracle within the reference's own
     CPU<->GPU bar of 1e-4 relative (sub-cell offsets ride the wire as u16
     fixed point; scripts/patterns/compare_cpu_gpu_patterns.py:28-41).
-  * Line hybrid is BIT-IDENTICAL to the staged device path (endpoints are
-    exact integers on the wire).
+  * Line hybrid has the EXACT staged footprint and values within 1 ulp
+    (endpoints are exact integers on the wire; run accumulation order
+    differs slightly), and the 4-bit delta wire is bit-identical to the
+    full-e1 wire.
   * Multi-tile grids keep the home-tile glyph clip.
 """
 
@@ -18,6 +20,14 @@ import pytest
 
 import pcr_tpu as pcr
 from conftest import make_grid_config
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    """The wire paths gate on the Pallas splat (_wire_ok); without this
+    the CPU test backend auto-selects pallas='off' and every test here
+    would silently exercise the staged fallback instead of the wire."""
+    monkeypatch.setenv("PCR_PALLAS", "interpret")
 
 
 def _cloud(n, extent, seed=3, channels=("value",)):
@@ -92,14 +102,21 @@ def test_hybrid_gaussian_wire_oracle_parity(name, spec, channels, tol):
     _rel_close(ref, hyb, tol)
 
 
-def test_hybrid_line_wire_matches_staged_bitexact():
+def test_hybrid_line_wire_matches_staged():
+    """Per-point-direction lines: exact footprint and values to 1 ulp.
+    The wire enumerates runs in a slightly different within-cell order
+    than the host bucketing, so Average sums can differ in the last ulp
+    (the delta-wire test below additionally pins the packed wire
+    bit-equal to the full-e1 wire)."""
     gc = make_grid_config(w=128.0, h=128.0)
     cloud = _cloud(2000, 128.0, channels=("value", "direction"))
     spec = pcr.line_splat_spec("value", default_half_length=5.0,
                                direction_channel="direction")
     staged = _run(gc, spec, cloud, pcr.ExecutionMode.GPU, staged=True)
     hyb = _run(gc, spec, cloud, pcr.ExecutionMode.Hybrid)
-    assert np.array_equal(staged, hyb, equal_nan=True)
+    assert (np.isnan(staged) == np.isnan(hyb)).all()
+    m = np.isfinite(staged)
+    assert float(np.abs(staged[m] - hyb[m]).max()) <= 1e-6
 
 
 def test_hybrid_gaussian_wire_multi_tile_clip():
@@ -124,7 +141,9 @@ def test_hybrid_line_wire_multi_tile_clip():
                                direction_channel="direction")
     staged = _run(gc, spec, cloud, pcr.ExecutionMode.GPU, staged=True)
     hyb = _run(gc, spec, cloud, pcr.ExecutionMode.Hybrid)
-    assert np.array_equal(staged, hyb, equal_nan=True)
+    assert (np.isnan(staged) == np.isnan(hyb)).all()
+    m = np.isfinite(staged)
+    assert float(np.abs(staged[m] - hyb[m]).max()) <= 1e-6
 
 
 def test_hybrid_wire_repeat_ingest_stable_keys():
@@ -174,3 +193,37 @@ def test_commit_programs_keyed_per_chunk_not_per_multiset():
         if head in ("finstrips", "finpack"):
             assert not any(isinstance(part, tuple) for part in key), (
                 f"finalize program keyed by chunk history: {key}")
+
+
+def test_line_delta_wire_engages_and_matches(monkeypatch):
+    """Uniform-shape lines must ship 4-bit endpoint deltas (the packed
+    key carries the (dminx, dminy) tuple), reconstructing endpoints so
+    exactly that the raster is BIT-IDENTICAL to the full-e1 wire; vs the
+    staged path the usual wire contract holds (exact footprint, values
+    to the last ulp)."""
+    gc = make_grid_config(w=200.0, h=200.0)
+    spec = pcr.line_splat_spec("value", default_direction=0.9,
+                               default_half_length=5.0)
+    cloud = _cloud(4000, 200.0)
+    staged = _run(gc, spec, cloud, pcr.ExecutionMode.GPU, staged=True)
+    monkeypatch.setenv("PCR_LINE_DELTA_WIRE", "0")
+    plain = _run(gc, spec, cloud, pcr.ExecutionMode.Hybrid)
+    monkeypatch.setenv("PCR_LINE_DELTA_WIRE", "1")
+    cfg = pcr.PipelineConfig()
+    cfg.grid = gc
+    cfg.reductions = [spec]
+    cfg.exec_mode = pcr.ExecutionMode.Hybrid
+    p = pcr.Pipeline.create(cfg)
+    p.ingest(cloud)
+    # the jit cache is shared across engines, so the plain-wire key from
+    # the run above coexists; the packed key must be present
+    line_keys = [k for k in p._engine._jits if k[0] == "line_wire"]
+    assert any(isinstance(k[-1], tuple) and len(k[-1]) == 2
+               for k in line_keys), \
+        f"delta wire did not engage: {line_keys}"
+    p.finalize()
+    hyb = p.result().band_array(0)
+    assert np.array_equal(plain, hyb, equal_nan=True)
+    assert (np.isnan(staged) == np.isnan(hyb)).all()
+    m = np.isfinite(staged)
+    assert float(np.abs(staged[m] - hyb[m]).max()) <= 1e-6

@@ -227,3 +227,19 @@ def test_line_delta_wire_engages_and_matches(monkeypatch):
     assert (np.isnan(staged) == np.isnan(hyb)).all()
     m = np.isfinite(staged)
     assert float(np.abs(staged[m] - hyb[m]).max()) <= 1e-6
+
+
+def test_line_delta_wire_multi_tile():
+    """Delta wire + home-tile clip: the packed codes segment follows the
+    ctr plane on multi-tile grids; footprint stays exact vs staged."""
+    gc = make_grid_config(w=160.0, h=160.0)
+    gc.tile_width = gc.tile_height = 64
+    gc.compute_dimensions()
+    cloud = _cloud(1500, 160.0)
+    spec = pcr.line_splat_spec("value", default_direction=0.4,
+                               default_half_length=6.0)
+    staged = _run(gc, spec, cloud, pcr.ExecutionMode.GPU, staged=True)
+    hyb = _run(gc, spec, cloud, pcr.ExecutionMode.Hybrid)
+    assert (np.isnan(staged) == np.isnan(hyb)).all()
+    m = np.isfinite(staged)
+    assert float(np.abs(staged[m] - hyb[m]).max()) <= 1e-6

@@ -78,7 +78,10 @@ MODES = {
 # minimal-wire bytes/point of the hybrid ingest (tpu_backend
 # _prepare_*_wire): points ship [cell|value], glyphs [icxy|subq|value]
 # (lines [e0|e1|value]); per-point sigma or multi-tile grids add planes
-WIRE_BYTES_PER_PT = {"point": 8}
+WIRE_BYTES_PER_PT = {"point": 8,
+                     # uniform-shape lines ship 4-bit endpoint deltas
+                     # (e0 + value + codes = 8.5 B/line)
+                     "line_hl1": 8.5, "line_hl4": 8.5, "line_hl16": 8.5}
 WIRE_BYTES_DEFAULT = 12
 
 

@@ -1248,7 +1248,12 @@ class TpuEngine:
         ncb = padded_width(self.W) // WT
         nblocks = nrb * ncb
         block = min(PALLAS_BLOCK, 2048)
-        budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 8 << 20))
+        # 16M halo entries of device sort working set (~400 MB transient HBM)
+        # before a chunk is split: large-radius glyphs (kmax 8 at sigma=16)
+        # amortize the sort much better in 2M-point chunks than 1M
+        # (measured 2.98 -> 3.66 Mpts/s hybrid @5M); smaller-kmax glyphs
+        # are already capped by the 2M bucket ladder.
+        budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 16 << 20))
         max_pts = max(budget // kmax, CHUNK_BUCKETS[0])
         staged = []
         for start, end in chunk_ranges(n, cap=max_pts):
@@ -1353,7 +1358,12 @@ class TpuEngine:
         block = PALLAS_BLOCK
         multi_tile = self.cfg.total_tiles() > 1
         jmax = max(runlen_max // WT, runlen_max // TH) + 2
-        budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 8 << 20))
+        # 16M halo entries of device sort working set (~400 MB transient HBM)
+        # before a chunk is split: large-radius glyphs (kmax 8 at sigma=16)
+        # amortize the sort much better in 2M-point chunks than 1M
+        # (measured 2.98 -> 3.66 Mpts/s hybrid @5M); smaller-kmax glyphs
+        # are already capped by the 2M bucket ladder.
+        budget = int(os.environ.get("PCR_WIRE_ENTRY_BUDGET", 16 << 20))
         run_cap = max(budget // jmax, 1 << 16)
         ctr = (pack_u16_pair((col & 0xFFFF).astype(np.int64),
                              (row & 0xFFFF).astype(np.int64))

@@ -267,7 +267,7 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
 
         DEAD = np.int32(-32768 << 16)   # dead icxy: icx == -32768
 
-        def fn(states, buf):
+        def entries(buf):
             icx, icy, live_p, _scx, _scy, _val, extras = _decode_wire(
                 buf, B, nsig)
             if nsig:
@@ -296,8 +296,13 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
                     [plane.reshape(-1), jnp.full(npad, np.int32(f))]))
             eb_full = jnp.concatenate(
                 [eb, jnp.full(npad, np.int32(nblocks))])
-            planes, bids = aligned_sorted_planes(
+            return eb_full, payloads
+
+        def group(eb_full, payloads):
+            return aligned_sorted_planes(
                 eb_full, payloads, nblocks, block, nsub_pad)
+
+        def finish(planes, bids):
             # post-sort unpack to the kernel's segment layout: one
             # elementwise pass at entry resolution, bit-identical to the
             # per-segment pre-sort broadcast it replaces (live entries
@@ -354,8 +359,14 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
                 segs = [icx_s, icy_s, i32(sub_cx), i32(sub_cy),
                         i32(sx), i32(sy), r_s, i32(f0)]
             params_2d = jnp.stack(segs, axis=1).reshape(nsub_pad, -1)
+            return params_2d, bids
+
+        def fn(states, buf):
+            params_2d, bids = finish(*group(*entries(buf)))
             return upd(states, params_2d, bids)
 
+        # stage handles for benchmarks/profile_hybrid_stages.py
+        fn.entries, fn.group, fn.finish, fn.upd = entries, group, finish, upd
         return fn
 
     return build
@@ -401,7 +412,7 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
         E0 = nsub_pad * block          # rmax_entries*jmax + nblocks*block
         npad = nblocks * block
 
-        def fn(states, buf):
+        def entries(buf):
             # wire layout: [ctr? | e0 | e1 | value], or with
             # packed_deltas=(dminx, dminy): [ctr? | e0 | value | codes]
             # where codes pack 8 lines' 4-bit endpoint deltas per word
@@ -526,15 +537,26 @@ def line_wire_builder(info: ReductionInfo, cfg, B: int, jmax: int,
                     [plane.reshape(-1), jnp.full(npad, np.int32(f))]))
             eb_full = jnp.concatenate(
                 [eb, jnp.full(npad, np.int32(nblocks))])
-            planes, bids = aligned_sorted_planes(
+            return eb_full, payloads
+
+        def group(eb_full, payloads):
+            return aligned_sorted_planes(
                 eb_full, payloads, nblocks, block, nsub_pad)
+
+        def finish(planes, bids):
             ax_s, ay_s = _unpack16(planes[0])
             bx_s, by_s = _unpack16(planes[1])
             params_2d = jnp.stack(
                 [ax_s, bx_s, ay_s, by_s, planes[2]],
                 axis=1).reshape(nsub_pad, -1)
+            return params_2d, bids
+
+        def fn(states, buf):
+            params_2d, bids = finish(*group(*entries(buf)))
             return upd(states, params_2d, bids)
 
+        # stage handles for benchmarks/profile_hybrid_stages.py
+        fn.entries, fn.group, fn.finish, fn.upd = entries, group, finish, upd
         return fn
 
     return build

@@ -1149,12 +1149,29 @@ class Pipeline:
         # the full round-trip serially.  Two fetch threads keep the wire
         # busy (they sit in iowait, not on the GIL) while the main thread
         # consumes strips in order and the writer thread LZW-encodes.
+        # Bounded sliding window: submitting every strip of every spec
+        # upfront would retain completed hosts arrays until consumption —
+        # ~2x the full raster in host memory, exactly on the large-raster
+        # path streaming is meant to bound. Keep at most PREFETCH strips
+        # in flight ahead of the consumer and drop each future as soon as
+        # its strip is consumed.
         fetch_ex = ThreadPoolExecutor(max_workers=2)
-        strip_futs = {
-            i: [fetch_ex.submit(np.asarray, dev)
-                for (_, _, dev) in strips]
-            for i, strips in strips_per_spec.items()}
-        fetch_ex.shutdown(wait=False)
+        prefetch = max(1, int(os.environ.get("PCR_STRIP_PREFETCH", "4")))
+        fetch_order = [(i, j, dev)
+                       for i, strips in strips_per_spec.items()
+                       for j, (_, _, dev) in enumerate(strips)]
+        strip_futs = {}
+        submitted = 0
+
+        def _advance(upto):
+            nonlocal submitted
+            while submitted < min(upto, len(fetch_order)):
+                ii, jj, dv = fetch_order[submitted]
+                strip_futs[(ii, jj)] = fetch_ex.submit(np.asarray, dv)
+                submitted += 1
+
+        _advance(prefetch)
+        consumed = 0
         futures = []
         bands = []
         try:
@@ -1174,9 +1191,12 @@ class Pipeline:
                 fields = ([np.empty((cfg.height, cfg.width), np.float32)
                            for _ in range(info.state_floats)]
                           if need_state else None)
-                for (r0, r1, dev), fut in zip(strips_per_spec[i],
-                                              strip_futs[i]):
+                for j, (r0, r1, dev) in enumerate(strips_per_spec[i]):
+                    fut = strip_futs.pop((i, j))
+                    consumed += 1
+                    _advance(consumed + prefetch)
                     host = fut.result()
+                    del fut
                     if need_state:
                         for k in range(info.state_floats):
                             fields[k][r0:r1] = host[k]
@@ -1206,6 +1226,7 @@ class Pipeline:
                     raise PcrError(st)
         finally:
             ex.shutdown(wait=True)
+            fetch_ex.shutdown(wait=False)
         self._result = grid
         self._finalized = True
 

@@ -145,7 +145,10 @@ def start_d2h(arr) -> None:
             if arr.devices().pop().platform == "axon":
                 return
         except Exception:
-            pass
+            # unknown platform shape: skip async rather than risk the
+            # axon degradation — losing D2H overlap is cheap, a ~30x
+            # process-wide transfer slowdown is not
+            return
     arr.copy_to_host_async()
 
 

@@ -34,6 +34,21 @@ ATOL_BOUNDARY = 1e-4
 BOUNDARY_FRAC = 5e-5
 
 
+def _nan_fringe(a):
+    """Cells within one cell of a NaN (or the raster edge): where the
+    w >= 1e-6 Average cutoff boundary lives — the only cells whose
+    near-zero accumulated weight legitimately amplifies last-ulp
+    arithmetic differences past the 1e-5 bar."""
+    nanm = np.isnan(a)
+    fringe = np.ones_like(nanm)
+    fringe[1:-1, 1:-1] = False
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            sl = np.roll(np.roll(nanm, dy, 0), dx, 1)
+            fringe |= sl
+    return fringe
+
+
 def compare(cpu_path, tpu_path):
     a = read_geotiff_band(cpu_path, 0)
     b = read_geotiff_band(tpu_path, 0)
@@ -41,22 +56,29 @@ def compare(cpu_path, tpu_path):
         return False, f"shape mismatch {a.shape} vs {b.shape}"
     nan_mismatch = int((np.isnan(a) != np.isnan(b)).sum())
     m = np.isfinite(a) & np.isfinite(b)
+    interior_bad = 0
     if m.any():
-        diff = np.abs(a[m] - b[m])
-        tol = ATOL + RTOL * np.abs(a[m])
-        nbad = int((diff > tol).sum())
-        nworse = int((diff > ATOL_BOUNDARY + RTOL * np.abs(a[m])).sum())
-        max_diff = float(diff.max())
+        diff = np.abs(a - b)
+        tol = ATOL + RTOL * np.abs(a)
+        bad = m & (diff > tol)
+        nbad = int(bad.sum())
+        nworse = int((m & (diff > ATOL_BOUNDARY
+                           + RTOL * np.abs(a))).sum())
+        max_diff = float(diff[m].max())
         allowed = max(1, int(BOUNDARY_FRAC * m.sum()))
+        if nbad:
+            # the allowance exists ONLY for cutoff-boundary cells:
+            # any >tol cell away from the NaN fringe is a real defect
+            interior_bad = int((bad & ~_nan_fringe(a)).sum())
     else:
         nbad = nworse = 0
         max_diff, allowed = 0.0, 1
-    ok = (nan_mismatch == 0 and nworse == 0
+    ok = (nan_mismatch == 0 and nworse == 0 and interior_bad == 0
           and (nbad == 0 or nbad <= allowed))
     return ok, (f"max_diff={max_diff:.2e} num_different={nbad} "
-                f"nan_mismatch={nan_mismatch}"
-                + (f" (boundary-cell allowance {allowed})"
-                   if ok and nbad else ""))
+                f"nan_mismatch={nan_mismatch} "
+                f"boundary_allowance={allowed} "
+                f"interior_bad={interior_bad}")
 
 
 def main():

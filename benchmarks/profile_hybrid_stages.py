@@ -88,6 +88,8 @@ def main():
             default_rotation=0.6)),
         ("point", None),
     ):
+        if len(sys.argv) > 1 and label not in sys.argv[1:]:
+            continue
         print(f"== {label} ==", flush=True)
         cfg = pcr.PipelineConfig()
         cfg.grid = gc

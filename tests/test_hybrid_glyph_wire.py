@@ -216,9 +216,12 @@ def test_line_delta_wire_engages_and_matches(monkeypatch):
     p = pcr.Pipeline.create(cfg)
     p.ingest(cloud)
     # the jit cache is shared across engines, so the plain-wire key from
-    # the run above coexists; the packed key must be present
-    line_keys = [k for k in p._engine._jits if k[0] == "line_wire"]
-    assert any(isinstance(k[-1], tuple) and len(k[-1]) == 2
+    # the run above coexists; a packed-delta key must be present — either
+    # the static uniform-run form (preferred) or the packed-stream form
+    line_keys = [k for k in p._engine._jits
+                 if k[0] in ("line_wire", "line_wire_static")]
+    assert any(k[0] == "line_wire_static"
+               or (isinstance(k[-1], tuple) and len(k[-1]) == 2)
                for k in line_keys), \
         f"delta wire did not engage: {line_keys}"
     p.finalize()

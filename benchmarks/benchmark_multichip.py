@@ -54,12 +54,12 @@ def make_cloud(n, size, rng):
     return c
 
 
-def run_config(gc, cloud, spec, n_dev, dp, sp, repeats):
+def run_config(gc, cloud, spec, n_dev, dp, sp, repeats, force_mesh=False):
     cfg = pcr.PipelineConfig()
     cfg.grid = gc
     cfg.reductions = [spec]
     cfg.exec_mode = pcr.ExecutionMode.GPU
-    if n_dev > 1:
+    if n_dev > 1 or force_mesh:
         cfg.mesh_devices = n_dev
         cfg.mesh_dp, cfg.mesh_sp = dp, sp
     pipe = pcr.Pipeline.create(cfg)
@@ -111,10 +111,27 @@ def main():
 
     rows = []
     for glyph in args.glyphs:
+        # per-chip overhead: the sharded engine on a 1-device mesh vs the
+        # single-chip TpuEngine, same work — the fraction of single-chip
+        # throughput each mesh chip retains (VERDICT r3 task 6 bar: >=0.7)
+        w_single = run_config(gc, cloud, specs[glyph], 1, 1, 1,
+                              args.repeats)
+        w_mesh1 = run_config(gc, cloud, specs[glyph], 1, 1, 1,
+                             args.repeats, force_mesh=True)
+        frac = w_single / w_mesh1
+        rows.append({"glyph": glyph, "devices": 1, "dp": 1, "sp": 1,
+                     "wall_s": round(w_mesh1, 3),
+                     "mpts_per_s": round(args.points / w_mesh1 / 1e6, 2),
+                     "speedup": "",
+                     "parallel_efficiency": "",
+                     "per_chip_vs_single": round(frac, 3)})
+        print(f"{glyph:6s} per-chip overhead: sharded(1-dev mesh) "
+              f"{w_mesh1:.3f}s vs TpuEngine {w_single:.3f}s -> "
+              f"{100 * frac:.0f}% of single-chip throughput", flush=True)
         base = None
         for d in ladder:
-            sp = 2 if d >= 4 else 1
-            dp = d // sp
+            sp, dp = d, 1          # spatial-first: the host-routed fast
+            dp = d // sp           # path is collective-free at dp=1
             wall = run_config(gc, cloud, specs[glyph], d, dp, sp,
                               args.repeats)
             mpts = args.points / wall / 1e6
@@ -125,7 +142,8 @@ def main():
                          "wall_s": round(wall, 3),
                          "mpts_per_s": round(mpts, 2),
                          "speedup": round(base / wall, 2),
-                         "parallel_efficiency": round(eff, 2)})
+                         "parallel_efficiency": round(eff, 2),
+                         "per_chip_vs_single": ""})
             print(f"{glyph:6s} d={d:2d} (dp={dp} sp={sp})  "
                   f"wall {wall:7.3f}s  {mpts:7.2f} Mpts/s  "
                   f"speedup {base / wall:5.2f}  eff {eff:4.2f}", flush=True)

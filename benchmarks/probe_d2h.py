@@ -1,17 +1,19 @@
 #!/usr/bin/env python
 """How should a 4 MB result cross the tunnel D2H?
 
-wall_decomposition shows d2h_4mb = 94 ms but d2h_strips(2MB x2-ish)
+wall_decomposition shows d2h_4mb = 94 ms but d2h_strips(2MB-ish)
 = 173 ms — per-strip round trips. This probes whether CONCURRENT
 fetches (2 threads) pipeline on the wire, which decides the finalize
-strip strategy:
+strip strategy. jax caches fetched host copies, so every rep fetches
+FRESH device arrays (strips recomputed with a new scalar first,
+excluded from the timed window).
 
   one4       single 4 MB fetch (the packed path)
   two_serial 2 x 2 MB fetches, same thread
   two_conc   2 x 2 MB fetches, 2 threads
   four_conc  4 x 1 MB fetches, 2 threads
   eight_conc 8 x 512 KB fetches, 2 threads
-  two_conc3  2 x 2 MB fetches, 3 threads
+  four_conc4 4 x 1 MB fetches, 4 threads
 """
 
 import os
@@ -35,45 +37,53 @@ def main():
         (1024, 1024), np.float32), dev)
     big.block_until_ready()
 
-    def strips(k):
-        rows = 1024 // k
-        return [jax.jit(lambda a, i=i: a[i * rows:(i + 1) * rows] * 1.0
-                        ).lower(big).compile()(big) for i in range(k)]
+    fns = {}
 
-    def timed(name, fn):
-        fn()   # warm
+    def fresh(k, s):
+        fn = fns.get(k)
+        if fn is None:
+            rows = 1024 // k
+            fn = jax.jit(lambda a, s: [a[i * rows:(i + 1) * rows] * s
+                                       for i in range(k)])
+            fns[k] = fn
+        parts = fn(big, jnp.float32(s))
+        for p in parts:
+            p.block_until_ready()
+        # force the journal to drain so the timed fetch is pure D2H
+        np.asarray(parts[0].ravel()[:1])
+        return parts
+
+    seq = [0]
+
+    def timed(name, k, fetch):
+        fetch(fresh(k, 1.0))   # warm the programs
         best = float("inf")
         for _ in range(3):
+            seq[0] += 1
+            parts = fresh(k, 1.0 + seq[0])
             t0 = time.perf_counter()
-            fn()
+            fetch(parts)
             best = min(best, time.perf_counter() - t0)
         print(f"  {name:10s} {best * 1e3:8.1f} ms   "
               f"{4.0 / best:6.1f} MB/s", flush=True)
 
-    def one4():
-        np.asarray(big)
-
-    parts2 = strips(2)
-    parts4 = strips(4)
-    parts8 = strips(8)
-    for p in parts2 + parts4 + parts8:
-        p.block_until_ready()
-
-    def two_serial():
-        for p in parts2:
+    def serial(parts):
+        for p in parts:
             np.asarray(p)
 
-    def conc(parts, nthreads):
-        with ThreadPoolExecutor(max_workers=nthreads) as ex:
-            list(ex.map(np.asarray, parts))
+    def conc(n):
+        def run(parts):
+            with ThreadPoolExecutor(max_workers=n) as ex:
+                list(ex.map(np.asarray, parts))
+        return run
 
-    timed("one4", one4)
-    timed("two_serial", two_serial)
-    timed("two_conc", lambda: conc(parts2, 2))
-    timed("four_conc", lambda: conc(parts4, 2))
-    timed("eight_conc", lambda: conc(parts8, 2))
-    timed("two_conc3", lambda: conc(parts2, 3))
-    timed("four_conc4", lambda: conc(parts4, 4))
+    timed("one4", 1, serial)
+    timed("two_serial", 2, serial)
+    timed("two_conc", 2, conc(2))
+    timed("four_conc", 4, conc(2))
+    timed("eight_conc", 8, conc(2))
+    timed("four_conc4", 4, conc(4))
+    timed("eight_conc8", 8, conc(8))
 
 
 if __name__ == "__main__":

@@ -867,8 +867,10 @@ class TpuEngine:
             # native counting-sort layout: one pass count + one pass place
             # (the slow throttled host makes numpy argsort paths minutes
             # on 50M+ halo entries)
+            floor = getattr(self, "_nsub_floor", 1)
             slots, bids, nsub = native.bucket_layout(
-                eb, nblocks, block, visit_all, _nsub_bucket)
+                eb, nblocks, block, visit_all,
+                lambda k, f=floor: _nsub_bucket(max(k, f)))
             E = nsub * block
             if layout == "sub_major":
                 # fused native gather+fill+transpose straight into the
@@ -902,7 +904,10 @@ class TpuEngine:
         if visit_all:
             per_block_subs = np.maximum(per_block_subs, 1)
         nsub_real = int(per_block_subs.sum())
-        nsub = _nsub_bucket(max(nsub_real, 1))
+        # _nsub_floor: the sharded engine forces a common nsub across sp
+        # shards so per-shard buffers stack into one mesh array
+        nsub = _nsub_bucket(max(nsub_real, 1,
+                                getattr(self, "_nsub_floor", 1)))
         E = nsub * block
         slots = np.full(E, -1, np.int64)
         bids = np.zeros(nsub, np.int32)
@@ -1575,7 +1580,8 @@ class TpuEngine:
             for start, end in chunk_ranges(n):
                 b = bucket_size(end - start)
                 sl = slice(start, end)
-                rmax = max(int(r[sl].max()) if end > start else 0, 0)
+                rmax = max(int(r[sl].max()) if end > start else 0, 0,
+                           getattr(self, "_rmax_floor", 0))
                 segs = [(gp.icx[sl], 0), (gp.icy[sl], 0),
                         (gp.sub_cx[sl], 0), (gp.sub_cy[sl], 0),
                         (gp.sx[sl], 1.0), (gp.sy[sl], 1.0),
@@ -1606,7 +1612,10 @@ class TpuEngine:
             # matmul then spans only (TH, CT) per sub-chunk.
             from .pallas_kernels import gauss_col_tile, padded_width
             block = min(block, PALLAS_BLOCK)   # bounded by scoped VMEM
-            rmax = max(int(r.max()) if n else 0, 0)
+            # _rmax_floor: the sharded engine forces a common rmax across
+            # sp shards (WT and the dense scan length feed jit keys)
+            rmax = max(int(r.max()) if n else 0, 0,
+                       getattr(self, "_rmax_floor", 0))
             WT = gauss_col_tile(self.W, rmax)
             ncb = padded_width(self.W) // WT
             icx = gp.icx.astype(np.int64)

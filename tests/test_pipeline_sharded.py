@@ -131,6 +131,39 @@ def test_odd_grid_height_pads_rows():
     assert_bands_match(got, want, 1)
 
 
+def test_collective_free_sp_only_mesh_matches_cpu():
+    """dp=1, sp=8: pure spatial sharding — the host-routed fast path with
+    no psum at all. Every glyph family through the full pipeline."""
+    gc = make_grid_config()
+    specs = [
+        ReductionSpec(value_channel="v", type=RT.Average),
+        pcr.gaussian_splat_spec("v", default_sigma=1.5,
+                                max_radius_cells=6.0),
+        pcr.line_splat_spec("v", default_direction=0.7,
+                            default_half_length=4.0,
+                            max_radius_cells=8.0),
+    ]
+    clouds = [make_cloud(4000, seed=11)]
+    want = run_pipeline(cpu_config(gc, specs), clouds)
+    got = run_pipeline(mesh_config(gc, specs, sp=8), clouds)
+    assert_bands_match(got, want, 3, atol=2e-5)
+
+
+def test_median_on_mesh_matches_cpu():
+    """Median (scatter_kind='collect') on a sharded pipeline: the collect
+    stream runs host-side (un-sharded by design) while sharded specs in
+    the same pipeline use the mesh — both must match the CPU oracle."""
+    gc = make_grid_config()
+    specs = [
+        ReductionSpec(value_channel="v", type=RT.Median),
+        ReductionSpec(value_channel="v", type=RT.Average),
+    ]
+    clouds = [make_cloud(3000, seed=12), make_cloud(1000, seed=13)]
+    want = run_pipeline(cpu_config(gc, specs), clouds)
+    got = run_pipeline(mesh_config(gc, specs), clouds)
+    assert_bands_match(got, want, 2)
+
+
 def test_staged_ingest_matches_cpu():
     """Device-resident (stage → ingest) flow over the mesh."""
     gc = make_grid_config()

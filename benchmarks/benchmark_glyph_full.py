@@ -89,14 +89,15 @@ def link_mbps():
     """Measured H2D bandwidth of this session's link (fresh 24 MB puts;
     jax caches fetched values, so each rep uses a new host array).
 
-    The axon tunnel journals device ops optimistically, and — measured
-    round 4 — `device_put(..).block_until_ready()` STAYS optimistic even
-    after the process's first fetch (it reported ~124 MB/s while
-    fetch-synced h2d of the same buffers measured ~60 MB/s and the
-    hybrid pipeline saturated at exactly the fetch-synced rate). Only a
-    device->host FETCH waits for the wire to drain, so each rep is
-    timed put + 1-element fetch, with the small-fetch round trip
-    measured separately and subtracted."""
+    Two measurement traps, both verified round 4:
+      * `device_put(..).block_until_ready()` stays optimistic even after
+        the process's first fetch — only a device->host FETCH of data
+        depending on the put waits for the wire, so each rep is timed
+        put + 1-element fetch (small-fetch RTT subtracted).
+      * the tunnel transport COMPRESSES frames (24 MB constant floats:
+        92 MB/s apparent; random: 58.6 MB/s) — the probe must ship
+        incompressible random data, like the packed wire buffers the
+        hybrid path actually sends (random cells/offsets/values)."""
     import jax
     import jax.numpy as jnp
     devs = [d for d in jax.devices() if d.platform != "cpu"]
@@ -111,9 +112,10 @@ def link_mbps():
         t0 = time.perf_counter()
         np.asarray(head(small))
         rtt = min(rtt, time.perf_counter() - t0)
+    rng = np.random.default_rng(7)
     best = float("inf")
     for i in range(3):
-        a = np.full((24 << 20) // 4, float(i), np.float32)
+        a = rng.random((24 << 20) // 4, np.float64).astype(np.float32)
         t0 = time.perf_counter()
         d = jax.device_put(a, devs[0])
         np.asarray(head(d))   # forces the true wire drain

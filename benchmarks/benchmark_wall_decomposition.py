@@ -97,12 +97,19 @@ def main():
 
     out["d2h_strips_s"] = min(fetch_strips_fresh(i) for i in range(R))
 
+    head = jax.jit(lambda x: x[:1, :1])
+    jax.block_until_ready(head(band_dev))
+
     def h2d_once(i):
+        # band_host is random (incompressible — the tunnel transport
+        # compresses frames) and the rep ends with a 1-element fetch
+        # (block_until_ready on a put stays optimistic on the tunnel)
         a = band_host + np.float32(i + 1)   # fresh host buffer per rep
         t0 = time.perf_counter()
-        jax.device_put(a, dev).block_until_ready()
+        d = jax.device_put(a, dev)
+        np.asarray(head(d))
         return time.perf_counter() - t0
-    out["h2d_4mb_s"] = min(h2d_once(i) for i in range(R))
+    out["h2d_4mb_s"] = min(h2d_once(i) for i in range(R)) - out["rtt_s"]
 
     # --- host encode --------------------------------------------------------------
     import tempfile
@@ -133,56 +140,81 @@ def main():
     cloud.set_channel_array_f32("value",
                                 rng.uniform(0, 1, N).astype(np.float32))
 
-    cfg = pcr.PipelineConfig()
-    cfg.grid = gc
-    cfg.reductions = [pcr.ReductionSpec(value_channel="value",
-                                        type=pcr.ReductionType.Average)]
-    cfg.exec_mode = pcr.ExecutionMode.GPU
-    cfg.output_path = os.path.join(tmp, "out.tif")
-    pipe = pcr.Pipeline.create(cfg)
-    staged = pipe.stage(cloud)
-    pipe.ingest(staged)
-    pipe.finalize()
+    def glyph_specs():
+        avg = pcr.ReductionSpec(value_channel="value",
+                                type=pcr.ReductionType.Average)
+        yield "point", avg
+        for hl in (1.0, 16.0):
+            yield f"line_hl{hl:g}", pcr.line_splat_spec(
+                "value", default_half_length=hl)
+        for s in (1.0, 4.0, 16.0):
+            yield f"gauss_s{s:g}", pcr.gaussian_splat_spec(
+                "value", default_sigma=s)
+        yield "gauss_rot_s4", pcr.gaussian_splat_spec(
+            "value", default_sigma_x=4.0, default_sigma_y=1.5,
+            default_rotation=0.6)
 
-    eng = pipe._engine
-
-    def sync():
-        eng.flush_pending()
-        st = eng._states[0][0]
-        head = st[:1, :1] if st.ndim == 2 else st[:1]
-        return float(np.asarray(head).ravel()[0])
-
-    K = 5
-    bacc = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(K):
-            pipe.ingest(staged)
-        sync()
-        bacc = min(bacc, (time.perf_counter() - t0) / K)
-    out["accumulate_s"] = bacc
-
-    def run_finalize():
-        strips_d = eng.finalize_strips(0, 256)
-        for (_, _, s) in strips_d:
-            np.asarray(s)
-    out["finalize_fetch_s"] = best(run_finalize)
-
-    def wall():
+    out["glyphs"] = {}
+    for label, spec in glyph_specs():
+        cfg = pcr.PipelineConfig()
+        cfg.grid = gc
+        cfg.reductions = [spec]
+        cfg.exec_mode = pcr.ExecutionMode.GPU
+        cfg.output_path = os.path.join(tmp, "out.tif")
+        pipe = pcr.Pipeline.create(cfg)
+        staged = pipe.stage(cloud)
         pipe.ingest(staged)
         pipe.finalize()
-    out["wall_s"] = best(wall)
 
-    out["mpts_per_s_wall"] = round(N / out["wall_s"] / 1e6, 2)
-    # the streamed finalize overlaps strip D2H with the LZW encode, so the
-    # serial tail is whichever is longer, plus ~2 dispatch round-trips
-    floor = (out["accumulate_s"]
-             + max(out["d2h_4mb_s"], out["encode_lzw_s"])
-             + 2 * out["rtt_s"])
-    out["floor_estimate_s"] = round(floor, 4)
-    out["floor_mpts_per_s"] = round(N / floor / 1e6, 2)
-    out["tail_unexplained_s"] = round(
-        out["wall_s"] - floor - 0.0, 4)
+        eng = pipe._engine
+
+        def sync():
+            eng.flush_pending()
+            st = eng._states[0][0]
+            h = st[:1, :1] if st.ndim == 2 else st[:1]
+            return float(np.asarray(h).ravel()[0])
+
+        K = 5
+        bacc = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                pipe.ingest(staged)
+            sync()
+            bacc = min(bacc, (time.perf_counter() - t0) / K)
+
+        def run_finalize():
+            strips_d = eng.finalize_strips(0, 256)
+            for (_, _, s) in strips_d:
+                np.asarray(s)
+        fin = best(run_finalize)
+
+        def wall():
+            pipe.ingest(staged)
+            pipe.finalize()
+        w = best(wall)
+        # the streamed finalize overlaps strip D2H with the LZW encode, so
+        # the serial tail is whichever is longer, plus ~2 dispatch RTTs
+        floor = (bacc + max(out["d2h_4mb_s"], out["encode_lzw_s"])
+                 + 2 * out["rtt_s"])
+        g = {"accumulate_s": round(bacc, 5),
+             "accumulate_mpts_per_s": round(N / bacc / 1e6, 2),
+             "finalize_fetch_s": round(fin, 5),
+             "wall_s": round(w, 5),
+             "mpts_per_s_wall": round(N / w / 1e6, 2),
+             "floor_estimate_s": round(floor, 4),
+             "floor_mpts_per_s": round(N / floor / 1e6, 2),
+             "tail_unexplained_s": round(w - floor, 4)}
+        out["glyphs"][label] = g
+        print(f"{label:12s} acc {bacc * 1e3:6.1f} ms  wall {w * 1e3:7.1f}"
+              f" ms  floor {floor * 1e3:6.1f} ms  "
+              f"{g['mpts_per_s_wall']:6.2f} Mpts/s "
+              f"(floor {g['floor_mpts_per_s']:6.2f})", flush=True)
+        if label == "point":   # keep the round-3 top-level schema
+            out.update({k: g[k] for k in
+                        ("accumulate_s", "finalize_fetch_s", "wall_s",
+                         "mpts_per_s_wall", "floor_estimate_s",
+                         "floor_mpts_per_s", "tail_unexplained_s")})
 
     # --- primary-metric mirror: 160x160 grid (reference GPU-Device mode,
     # benchmark_cpu_gpu.py) — Average, state_dir + output_path set --------------

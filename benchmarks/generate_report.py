@@ -200,7 +200,7 @@ def wire_rows(rows):
 
 
 def build_markdown(by_glyph, points, modes, lidar_rows, bench,
-                   mesh_rows=(), wires=()):
+                   mesh_rows=(), wires=(), walldec=None):
     lines = ["# PCR-TPU benchmark report", ""]
     lines.append("## Throughput (Mpts/s)")
     header = ["glyph"] + [f"N={fmt_n(n)} {m}" for n in points for m in modes]
@@ -265,6 +265,46 @@ def build_markdown(by_glyph, points, modes, lidar_rows, bench,
                   f"Primary metric: **{bench['value']} {bench['unit']}** "
                   f"({bench['vs_baseline']}x baseline) — "
                   f"{bench['metric']}", ""]
+        det = bench.get("details", {})
+        mirror = [(k, v) for k, v in det.items()
+                  if k.startswith("point_device")]
+        if mirror:
+            lines += ["", "### Apples-to-apples: the reference's own "
+                      "GPU-Device harness, mirrored exactly", "",
+                      "160x160 grid, Average, state_dir + GeoTIFF output, "
+                      "cloud staged on device before timing "
+                      "(benchmark_cpu_gpu.py protocol). These rows are the "
+                      "honest like-for-like comparison; the 1000x1000 "
+                      "sweep above additionally pays result D2H + LZW "
+                      "encode on a 1-core host over a ~50 MB/s tunnel "
+                      "(see the wall decomposition below for that floor).",
+                      ""]
+            lines.append("| row | this build | reference RTX 2060 "
+                         "| speedup |")
+            lines.append("|---|---|---|---|")
+            for k, v in mirror:
+                lines.append(
+                    f"| {k} | {v['mpts_per_s']:.2f} | {v['baseline']:.2f} "
+                    f"| {v['vs_baseline']:.2f}x |")
+
+    if walldec:
+        lines += ["", "## Staged wall decomposition: every wall at its "
+                  "link floor", "",
+                  f"Link measured in-run: RTT {walldec['rtt_s'] * 1e3:.0f}"
+                  f" ms, 4 MB result D2H {walldec['d2h_4mb_s'] * 1e3:.0f} "
+                  f"ms, LZW encode {walldec['encode_lzw_s'] * 1e3:.0f} ms "
+                  "(1-core host). Floor = device accumulate + max(D2H, "
+                  "encode) + 2 RTT; the unexplained tail is the "
+                  "engineering slack left.", ""]
+        lines.append("| glyph | accumulate Mpts/s | wall Mpts/s | floor "
+                     "Mpts/s | unexplained tail (ms) |")
+        lines.append("|---|---|---|---|---|")
+        for g, d in walldec.get("glyphs", {}).items():
+            lines.append(
+                f"| {g} | {d['accumulate_mpts_per_s']:.1f} "
+                f"| {d['mpts_per_s_wall']:.2f} "
+                f"| {d['floor_mpts_per_s']:.2f} "
+                f"| {d['tail_unexplained_s'] * 1e3:.0f} |")
     return "\n".join(lines) + "\n"
 
 
@@ -370,6 +410,7 @@ def main():
     ap.add_argument("--lidar-csv", default="")
     ap.add_argument("--multichip-csv", default="")
     ap.add_argument("--bench-json", default="")
+    ap.add_argument("--walldec-json", default="")
     args = ap.parse_args()
 
     rows = load_rows(args.csv_files)
@@ -390,10 +431,14 @@ def main():
     if args.bench_json:
         with open(args.bench_json) as f:
             bench = json.load(f)
+    walldec = None
+    if args.walldec_json:
+        with open(args.walldec_json) as f:
+            walldec = json.load(f)
 
     with open(args.output, "w") as f:
         f.write(build_markdown(by_glyph, points, modes, lidar_rows, bench,
-                               mesh_rows, wire_rows(rows)))
+                               mesh_rows, wire_rows(rows), walldec))
     print(f"wrote {args.output}")
     if args.html:
         with open(args.html, "w") as f:

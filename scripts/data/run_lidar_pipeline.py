@@ -177,20 +177,35 @@ def run_mode(mode, files, gc, spec, chunk, out):
               f"lib {done / max(timer.seconds('ingest'), 1e-9) / 1e6:7.2f} "
               f"Mpts/s  wall {done / elapsed / 1e6:6.2f} Mpts/s", flush=True)
 
+    # Accelerator ingest dispatches asynchronously (the wire and device
+    # compute drain in the background, overlapping the next file's read);
+    # without an explicit drain the leftover lands in finalize_s and the
+    # ingest-only "library rate" flatters the accelerator. Sync here so
+    # every phase means what it says.
+    with timer.phase("drain"):
+        eng = getattr(pipe, "_engine", None)
+        if mode != "cpu" and eng is not None and hasattr(eng, "_states"):
+            if hasattr(eng, "flush_pending"):
+                eng.flush_pending()
+            st = eng._states[0][0]
+            np.asarray(st[:1, :1] if st.ndim == 2 else st[:1])
+
     with timer.phase("finalize"):
         pipe.finalize()
 
     band = pipe.result().band_array(0)
     coverage = 100.0 * float(np.isfinite(band).mean())
     wall = time.perf_counter() - t_start
+    ingest_total = timer.seconds("ingest") + timer.seconds("drain")
     return {
         "mode": mode, "points": done, "wall_s": round(wall, 3),
         "warmup_s": round(warm_s, 3),
         "io_read_s": round(timer.seconds("io_read"), 3),
         "ingest_s": round(timer.seconds("ingest"), 3),
+        "drain_s": round(timer.seconds("drain"), 3),
         "finalize_s": round(timer.seconds("finalize"), 3),
-        "library_mpts_per_s": round(
-            done / max(timer.seconds("ingest"), 1e-9) / 1e6, 2),
+        "library_mpts_per_s": round(done / max(ingest_total, 1e-9) / 1e6,
+                                    2),
         "wall_mpts_per_s": round(done / wall / 1e6, 2),
         "coverage_pct": round(coverage, 1),
     }, band
@@ -286,9 +301,22 @@ def main():
             w.writerows(rows)
         print(f"wrote {args.csv}")
     if args.stats_json:
+        # Host-sourced accelerator modes ship 8 B/point (Point glyph
+        # minimal wire: [cell i32 | value f32]); on a tunneled device the
+        # wire is the hard floor of any accelerated wall — record it so
+        # the mode comparison is interpretable on thin links.
+        note = {}
+        accel = [r for r in rows if r["mode"] != "cpu"]
+        if accel:
+            wire_mb = total_pts * 8 / 1e6
+            note = {"wire_bytes_per_point": 8,
+                    "wire_total_mb": round(wire_mb, 1),
+                    "note": ("accelerated walls are bounded below by "
+                             f"{wire_mb:.0f} MB of host->device wire on "
+                             "this link; the CPU row pays no wire")}
         with open(args.stats_json, "w") as f:
             json.dump({"files": len(files), "grid": [gc.width, gc.height],
-                       "modes": rows}, f, indent=2)
+                       **note, "modes": rows}, f, indent=2)
         print(f"wrote {args.stats_json}")
 
 

@@ -308,8 +308,9 @@ def main():
         note = {}
         accel = [r for r in rows if r["mode"] != "cpu"]
         if accel:
-            wire_mb = total_pts * 8 / 1e6
-            note = {"wire_bytes_per_point": 8,
+            bpp = 8 if args.glyph == "point" else 12.6
+            wire_mb = total_pts * bpp / 1e6
+            note = {"wire_bytes_per_point": bpp,
                     "wire_total_mb": round(wire_mb, 1),
                     "note": ("accelerated walls are bounded below by "
                              f"{wire_mb:.0f} MB of host->device wire on "

@@ -236,7 +236,7 @@ def _decode_wire(buf, B, nextra):
 def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
                           TH: int, WT: int, nsub_pad: int, block: int,
                           h_pad: int, scal: dict, nsig: int,
-                          rot: bool, interpret: bool):
+                          rot: bool, interpret: bool, corr: tuple = ()):
     """Zero-arg builder for the hybrid Gaussian update: decode the wire
     buffer, expand/bucket on device, run the fused Pallas splat.
 
@@ -259,7 +259,8 @@ def gaussian_wire_builder(info: ReductionInfo, cfg, B: int, kmax: int,
         from .pallas_kernels import build_sorted_splat_pallas
         upd = build_sorted_splat_pallas(
             info, cfg, nsub_pad, block, TH, "rot" if rot else False,
-            False, interpret, two_d=True, wt=WT, h_pad=h_pad)
+            False, interpret, two_d=True, wt=WT, h_pad=h_pad,
+            corr_offsets=corr)
         i32 = lambda a: lax.bitcast_convert_type(a, jnp.int32)
         f32b = lambda v: np.float32(v).view(np.int32).item()
         E0 = nsub_pad * block          # B*kmax raw + nblocks*block pad

@@ -84,9 +84,22 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                               interpret: bool = False,
                               two_d: bool = False,
                               wt: int | None = None,
-                              h_pad: int | None = None):
+                              h_pad: int | None = None,
+                              corr_offsets: tuple = ()):
     """Build f(states, params_2d, bids) -> states (same math as
     tpu_backend._build_sorted_matmul_update, fused in VMEM).
+
+    corr_offsets (gauss mode, uniform small sigma): static (dxo, dyo)
+    window offsets where the separable factorization can deposit weights
+    the reference's PRODUCT cutoff (w < 1e-6) would drop. For each, the
+    kernel runs an exact-cancellation one-hot pass: the subtracted
+    amplitude is the SAME factor product the main matmul added (same
+    exp bits, negated operand, same contraction shapes and therefore the
+    same accumulation order), so a cell receiving only below-cutoff
+    contributions nets EXACTLY +0.0 — preserving the empty-cell NaN
+    footprint bit-for-bit (tpu_backend.gauss_corr_offsets picks the
+    offsets; routing falls back to the dense kernel when the set is
+    large).
 
     With two_d=True, bids encode (row_block * n_col_blocks + col_block):
     entries are bucketed on BOTH axes, so the factor matmul shrinks from
@@ -405,6 +418,45 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                         out_refs[1][:, sl] += acc_dot(wy, wx * f1)
                     else:
                         out_refs[1][:, sl] += acc_dot(wy, wx, exact_b=True)
+
+                if mode == "gauss" and corr_offsets:
+                    # exact-cancellation product-cutoff correction (see
+                    # builder docstring): per static offset, subtract the
+                    # below-cutoff contribution with the SAME factor bits
+                    # the main dots just added. wxc/wyc reproduce wx/wy at
+                    # the corner bit-for-bit: (ws - icx) is exact in f32
+                    # for grid-sized ints, so (dxo - sub_cx) sees the same
+                    # operand bits, and negation/zero-padding are exact
+                    # through the HIGHEST contraction.
+                    half = jnp.float32(-0.5)
+                    for dxo, dyo in corr_offsets:
+                        qxc = (jnp.float32(dxo) - sub_cx) / sx
+                        wxc = jnp.exp(half * qxc * qxc)
+                        qyc = (jnp.float32(dyo) - sub_cy) / sy
+                        wyc = jnp.exp(half * qyc * qyc)
+                        cr = icy_c + dyo
+                        cc = icx_c + dxo
+                        live = ((wxc * wyc < 1e-6)
+                                & (wxc >= 1e-6) & (wyc >= 1e-6)
+                                & (abs(dxo) <= rr) & (abs(dyo) <= rr)
+                                & (cr >= 0) & (cr < H)
+                                & (cc >= 0) & (cc < W))
+                        if multi_tile:
+                            # match the main factors' home-tile clip
+                            colc = jnp.clip(icx_c, 0, W - 1)
+                            cs_t = (colc // tw) * tw
+                            rowc = jnp.clip(icy_c, 0, H - 1)
+                            rs_t = (rowc // th_tile) * th_tile
+                            live &= ((cc >= cs_t)
+                                     & (cc < jnp.minimum(cs_t + tw, W))
+                                     & (cr >= rs_t)
+                                     & (cr < jnp.minimum(rs_t + th_tile,
+                                                         H)))
+                        gy = jnp.where(hs_i == cr, wyc, 0.0)
+                        gx = jnp.where((ws_i == cc) & live, wxc, 0.0)
+                        out_refs[0][:, sl] += acc_dot(gy, gx * (-f0))
+                        if nf == 2:
+                            out_refs[1][:, sl] += acc_dot(gy, -gx)
 
     state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)
     clamp = lambda b: jnp.minimum(b, nb_total - 1)

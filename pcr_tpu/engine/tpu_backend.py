@@ -483,6 +483,45 @@ def gauss_product_cutoff_bites(r, sx, sy) -> bool:
     return bool(np.any(qx * qx + qy * qy > 27.631021))
 
 
+def gauss_corr_offsets(r, sx, sy, max_k: int | None = None):
+    """Static (dxo, dyo) window offsets whose PRODUCT weight can dip below
+    the reference's 1e-6 cutoff while both per-axis factors stay passable
+    — the only cells where the separable factorization over-deposits.
+
+    For mildly-small uniform sigmas this set is tiny (sigma=1: just the
+    (-r,-r) corner), so the sorted splat can stay separable and run ONE
+    exact-cancellation one-hot pass per offset that subtracts the
+    below-cutoff contributions (see pallas_kernels corr machinery) —
+    recovering the ~2x separable-vs-dense speed the round-3 exactness fix
+    gave back. Returns () when no cell can bite (plain separable), a
+    tuple of offsets when the correction pass wins, or None when the set
+    is too large (dense kernel).
+
+    Worst case over the sub-cell offset in [0, 1): |d - sub| <= max(|d|,
+    |d-1|); the axis can still pass the per-axis mask when min |d - sub|
+    = |d| (d <= 0) / d-1 (d >= 1) stays under the cutoff."""
+    if max_k is None:
+        max_k = int(os.environ.get("PCR_GAUSS_CORR_MAX", 8))
+    r = int(r)
+    d = np.arange(-r, r + 1, dtype=np.float64)
+    qmax = np.maximum(np.abs(d), np.abs(d - 1.0))
+    qmin = np.where(d <= 0, np.abs(d), d - 1.0)
+    sx = max(abs(float(sx)), 1e-30)
+    sy = max(abs(float(sy)), 1e-30)
+    CUT = 27.631021
+    bite = (((qmax / sx) ** 2)[:, None] + ((qmax / sy) ** 2)[None, :]
+            > CUT)
+    passable = ((((qmin / sx) ** 2) <= CUT)[:, None]
+                & (((qmin / sy) ** 2) <= CUT)[None, :])
+    cand = bite & passable
+    k = int(cand.sum())
+    if k == 0:
+        return ()
+    if k > max_k:
+        return None
+    return tuple((int(d[i]), int(d[j])) for i, j in np.argwhere(cand))
+
+
 def _build_gaussian_rotated_update(info: ReductionInfo, cfg: GridConfig,
                                    bucket: int, rmax: int):
     """Exact rotated-Gaussian splat: masked (2r+1)^2 window expansion +
@@ -605,8 +644,11 @@ def _build_line_update(info: ReductionInfo, cfg: GridConfig, bucket: int,
             cy = cy + jnp.where(step_y, sy, 0)
             return (cx, cy, err, done), flat
 
+        # done-init derives from ix0 so its mesh-variance matches the
+        # carry output under shard_map (a constant zeros((n,), bool) is
+        # axis-unvarying and trips the scan carry type check)
         init = (ix0, iy0, (ddx - ddy).astype(jnp.int32),
-                jnp.zeros((n,), bool))
+                ix0 != ix0)
         steps = jax.lax.broadcasted_iota(jnp.int32, (max_steps, 1), 0)[:, 0]
         _, flats = jax.lax.scan(walk, init, steps)   # (K, B)
         flat_all = flats.reshape(-1)
@@ -962,7 +1004,7 @@ class TpuEngine:
         return buf, nsub, E
 
     def _pallas_builder(self, info, nsub, block, TH, point_mode, with_f1,
-                        nseg, E, two_d=False, wt=None):
+                        nseg, E, two_d=False, wt=None, corr_offsets=()):
         """Zero-arg builder producing the fused Pallas update closed over a
         single packed [params | bids] buffer."""
         interpret = self.pallas == "interpret"
@@ -974,7 +1016,8 @@ class TpuEngine:
             from .pallas_kernels import build_sorted_splat_pallas
             upd = build_sorted_splat_pallas(
                 info, cfg, nsub, block, TH, point_mode, with_f1, interpret,
-                two_d=two_d, wt=wt, h_pad=h_pad)
+                two_d=two_d, wt=wt, h_pad=h_pad,
+                corr_offsets=corr_offsets)
 
             def fn(states, buf):
                 params_2d = buf[: nseg * E].reshape(nsub, nseg * block)
@@ -1147,7 +1190,9 @@ class TpuEngine:
         values = np.asarray(values, dtype=np.float32)
         rot = bool(gp.rotated)
         # small-sigma chunks take the dense decode for the same reason the
-        # staged path does: only it implements the product weight cutoff
+        # staged path does: only it implements the product weight cutoff —
+        # except mildly-small UNIFORM sigmas, which stay separable with
+        # the exact-cancellation correction pass (gauss_corr_offsets)
         dense = rot or (valid.any() and gauss_product_cutoff_bites(
             gp.r[valid], gp.sx[valid], gp.sy[valid]))
         # uniform-shape detection: no per-point segments when every point
@@ -1159,6 +1204,14 @@ class TpuEngine:
             and (gp.sin_rot == gp.sin_rot.flat[0]).all()))
         if rot and not uniform:
             return None   # per-point rotated: host path
+        corr = ()
+        if dense and not rot and uniform and valid.any():
+            offs = gauss_corr_offsets(int(gp.r[valid].max()),
+                                      gp.sx[valid].flat[0],
+                                      gp.sy[valid].flat[0])
+            if offs is not None:
+                corr = offs
+                dense = False
         rmax = self._wire_ladder(
             max(int(gp.r[valid].max()) if valid.any() else 1, 1))
         nsig = 0 if uniform else 2
@@ -1190,7 +1243,7 @@ class TpuEngine:
             return self._pack(b, segs)
 
         return self._gauss_wire_emit(spec_idx, n, dense, rmax, nsig, scal,
-                                     pack_chunk)
+                                     pack_chunk, corr=corr)
 
     def prepare_gaussian_raw(self, spec_idx: int, glyph, x, y, valid,
                              values):
@@ -1218,8 +1271,15 @@ class TpuEngine:
                        np.float32(glyph.max_radius_cells))
         r = int(np.ceil(R).astype(np.int32))
         # dense decode when rotated OR when the product cutoff bites the
-        # square window (small sigma; see gauss_product_cutoff_bites)
+        # square window (small sigma) — unless the uniform corr pass can
+        # keep it separable (gauss_corr_offsets)
+        corr = ()
         dense = rotated or gauss_product_cutoff_bites(r, sx, sy)
+        if dense and not rotated:
+            offs = gauss_corr_offsets(r, sx, sy)
+            if offs is not None:
+                corr = offs
+                dense = False
         if dense and self.pallas == "off":
             return None
         n = len(values)
@@ -1240,10 +1300,10 @@ class TpuEngine:
                                           start, end, b)
 
         return self._gauss_wire_emit(spec_idx, n, dense, rmax, 0, scal,
-                                     pack_chunk)
+                                     pack_chunk, corr=corr)
 
     def _gauss_wire_emit(self, spec_idx: int, n: int, rot: bool, rmax: int,
-                         nsig: int, scal: dict, pack_chunk):
+                         nsig: int, scal: dict, pack_chunk, corr=()):
         """Shared tail of the Gaussian wire paths: chunking, jit keys,
         builders. pack_chunk(start, end, bucket) -> packed host buffer."""
         from .device_prep import gaussian_wire_builder
@@ -1268,15 +1328,16 @@ class TpuEngine:
             b = bucket_size(min(end - start, max_pts))
             nsub_pad = -(-b * kmax // block) + nblocks
             key = ("gauss_wire", spec_idx, b, kmax, TH, WT, nsig, rot,
+                   corr,
                    tuple(sorted((k, round(v, 9))
                                 for k, v in scal.items())))
             builder = (lambda info=info, b=b, kmax=kmax, TH=TH, WT=WT,
                        nsub_pad=nsub_pad, blk=block, scal=dict(scal),
-                       nsig=nsig, rot=rot:
+                       nsig=nsig, rot=rot, corr=corr:
                        gaussian_wire_builder(
                            info, self.cfg, b, kmax, TH, WT, nsub_pad, blk,
                            self.H_pad, scal, nsig, rot,
-                           self.pallas == "interpret")())
+                           self.pallas == "interpret", corr=corr)())
             staged.append(StagedChunk(key, self._put(pack_chunk(start, end,
                                                                 b)),
                                       builder, end - start))
@@ -1509,13 +1570,28 @@ class TpuEngine:
         r = np.where(valid, gp.r, np.int32(-1)).astype(np.int32)
         values = np.asarray(values, dtype=np.float32)
         rtype = ReductionType(info.type)
-        # small-sigma chunks must also take the dense kernel: its cutoff
-        # is the reference's product cutoff, which the separable
-        # factorization cannot express (see gauss_product_cutoff_bites)
+        # small-sigma chunks need the reference's PRODUCT cutoff, which
+        # the separable factorization cannot express per se
+        # (gauss_product_cutoff_bites). Mildly-small UNIFORM sigmas stay
+        # separable with the exact-cancellation correction pass
+        # (gauss_corr_offsets / pallas corr machinery); everything else
+        # takes the dense kernel.
+        corr = ()
         dense = bool(gp.rotated) or (valid.any() and
                                      gauss_product_cutoff_bites(
                                          r[valid], gp.sx[valid],
                                          gp.sy[valid]))
+        if dense and not gp.rotated and self.pallas != "off":
+            uniform = bool(
+                (gp.sx[valid] == gp.sx[valid].flat[0]).all()
+                and (gp.sy[valid] == gp.sy[valid].flat[0]).all())
+            if uniform:
+                offs = gauss_corr_offsets(int(r[valid].max()),
+                                          gp.sx[valid].flat[0],
+                                          gp.sy[valid].flat[0])
+                if offs is not None:
+                    corr = offs
+                    dense = False
         if dense and self.pallas != "off":
             # Dense rotated splat: 2-D bucketing over short (ROT_ROW_BLOCK)
             # row blocks, each point evaluating its exact quadratic form
@@ -1623,10 +1699,10 @@ class TpuEngine:
             cb1 = np.where(valid, np.clip((icx + r) // WT, 0, ncb - 1), 0)
             buf, nsub, E = self._bucket_blocks_2d(blk0, blk1, cb0, cb1,
                                                   ncb, block, segs)
-            key = ("pallas_gauss2d", spec_idx, nsub, block, TH, WT)
+            key = ("pallas_gauss2d", spec_idx, nsub, block, TH, WT, corr)
             builder = self._pallas_builder(info, nsub, block, TH, False,
                                            False, len(segs), E, two_d=True,
-                                           wt=WT)
+                                           wt=WT, corr_offsets=corr)
             return [StagedChunk(key, self._put(buf), builder, n)]
         buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs)
         key = ("gauss_sorted", spec_idx, nsub, block, TH)

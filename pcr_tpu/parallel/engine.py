@@ -113,6 +113,21 @@ class _StagedPacked:
         self.npoints = npoints
 
 
+def _flat_state_builder(builder, lhp, ws):
+    """Adapt a flat-state single-chip update (e.g. the Bresenham line
+    scatter, whose sentinel C == local_rows*W lands in the pad rows of
+    the (lhp, ws) layout) to the engine's 2-D local state blocks."""
+    def build():
+        u = builder()
+
+        def fn(states, buf):
+            out = u(tuple(s.reshape(-1) for s in states), buf)
+            return tuple(s.reshape(lhp, ws) for s in out)
+
+        return fn
+    return build
+
+
 class _LocalCfg:
     """GridConfig facade for one sp shard: the shard's row slice as a
     single-tile grid in LOCAL coordinates. Only the attributes the
@@ -187,7 +202,24 @@ class ShardedTpuEngine:
             self.W_state = self.W
         self.H_pad = self.sp * self.local_h_pad
         self._states = []
-        self._jits = {}
+        # jitted step programs shared across engine instances (a fresh
+        # Pipeline otherwise re-traces + re-compiles every shard_map
+        # program: ~0.2 s per chunk key on the CPU mesh, minutes through
+        # a remote tunnel) — same machinery as TpuEngine
+        from ..engine.tpu_backend import _shared_jit_namespace
+        b = cfg.bounds
+        ns_key = (
+            "sharded",
+            tuple(d.id for d in self.mesh.devices.flat),
+            self.dp, self.sp,
+            cfg.width, cfg.height, cfg.tile_width, cfg.tile_height,
+            float(cfg.cell_size_x), float(cfg.cell_size_y),
+            float(b.min_x), float(b.min_y), float(b.max_x), float(b.max_y),
+            tuple((spec.glyph.type, info.type, info.state_floats)
+                  for spec, info in plans),
+            self._fast, self._pallas_mode, self.local_h_pad, self.W_state,
+        )
+        self._jits = _shared_jit_namespace(ns_key)
         for spec, info in plans:
             fields = info.init_state((self.H_pad, self.W_state))
             self._states.append(
@@ -503,16 +535,18 @@ class ShardedTpuEngine:
         _, info = self.plans[spec_idx]
         valid = np.asarray(valid, bool)
         values = np.asarray(values, np.float32)
-        if self._fast and self._pallas_mode != "off":
+        if self._fast:
             # route by endpoint row span; each shard decomposes its lines
             # into Bresenham rects and splats them through the single-chip
-            # rect-mode Pallas kernel in local coordinates
+            # rect-mode Pallas kernel (or the flat Bresenham scatter when
+            # Pallas is off) in local coordinates
             lo = np.minimum(lp.iy0, lp.iy1).astype(np.int64)
             hi = np.maximum(lp.iy0, lp.iy1).astype(np.int64)
             routed = self._route(lo, hi, valid)
             lmax = max((len(routed[s][d]) for s in range(self.sp)
                         for d in range(self.dp)), default=0)
             lmax = max(lmax, 1)
+            flat = self._pallas_mode == "off"   # _build_line_update states
 
             def prepare_one(planner, s, d):
                 idx = routed[s][d]
@@ -524,13 +558,20 @@ class ShardedTpuEngine:
                     ix1=_pad(lp.ix1[idx], lmax, 0),
                     iy1=_pad(lp.iy1[idx] - off, lmax, 0),
                     k_cells=lp.k_cells)
-                return planner.prepare_line(
+                chunks = planner.prepare_line(
                     spec_idx, lpl,
                     _pad(np.ones(k, bool), lmax, False),
                     _pad(values[idx], lmax, 0.0),
                     _pad(np.clip(col[idx], 0, self.W - 1), lmax, 0),
                     _pad(np.clip(row[idx] - off, 0,
                                  self.local_rows - 1), lmax, 0))
+                if flat:
+                    chunks = [type(c)(c.key, c.buf,
+                                      _flat_state_builder(
+                                          c.builder, self.local_h_pad,
+                                          self.W_state),
+                                      c.npoints) for c in chunks]
+                return chunks
 
             return self._stack(spec_idx, prepare_one, len(lp.ix0))
         # dense legacy step: host rect decomposition in global rows,

@@ -75,6 +75,59 @@ def test_gaussian_pallas_matches_oracle(monkeypatch):
     assert_close(oracle, got, atol=1e-4)
 
 
+@pytest.mark.parametrize("sigma", [1.0, 1.3])
+def test_gaussian_small_sigma_corr_pass_matches_oracle(monkeypatch, sigma):
+    """Mildly-small uniform sigmas route to the separable splat PLUS the
+    exact-cancellation product-cutoff correction (gauss_corr_offsets)
+    instead of the dense kernel — NaN footprints must stay exact and
+    values within the parity bar."""
+    from pcr_tpu.engine.tpu_backend import (gauss_corr_offsets,
+                                            gauss_product_cutoff_bites)
+    import math
+    r = math.ceil(3.0 * sigma)
+    assert gauss_product_cutoff_bites(r, sigma, sigma)
+    offs = gauss_corr_offsets(r, sigma, sigma)
+    assert offs, "corr offsets expected to engage for this sigma"
+    gc = make_grid_config(w=200.0, h=150.0)
+    spec = pcr.gaussian_splat_spec("v", default_sigma=float(sigma),
+                                   max_radius_cells=8.0)
+    oracle = run(pcr.ExecutionMode.CPU, [spec], gc, False, monkeypatch)
+    got = run(pcr.ExecutionMode.GPU, [spec], gc, True, monkeypatch)
+    assert_close(oracle, got, atol=1e-4)
+
+
+def test_gaussian_small_sigma_corr_footprint_exact(monkeypatch):
+    """A point whose window corner falls below the product cutoff: the
+    corrected separable path must reproduce the oracle's NaN footprint
+    EXACTLY (the corner deposit cancels to +0.0 bitwise)."""
+    gc = make_grid_config(w=64.0, h=64.0)
+    monkeypatch.setenv("PCR_PALLAS", "interpret")
+    spec = pcr.gaussian_splat_spec("v", default_sigma=1.0,
+                                   max_radius_cells=8.0)
+    # sub-cell offsets near 1.0 maximize the corner distance: the (-3,-3)
+    # corner's product weight dips under 1e-6 while both axis factors pass
+    c = pcr.PointCloud.create(4)
+    c.set_x_array(np.array([32.99, 10.97, 50.01, 20.5]))
+    c.set_y_array(np.array([32.99, 40.98, 12.02, 20.5]))
+    c.add_channel("v", pcr.DataType.Float32)
+    c.set_channel_array_f32("v", np.ones(4, np.float32))
+    import copy
+    bands = {}
+    for mode in (pcr.ExecutionMode.CPU, pcr.ExecutionMode.GPU):
+        cfg = pcr.PipelineConfig()
+        cfg.grid = gc
+        cfg.reductions = [copy.deepcopy(spec)]
+        cfg.exec_mode = mode
+        p = pcr.Pipeline.create(cfg)
+        p.ingest(c)
+        p.finalize()
+        bands[mode] = p.result().band_array(0).copy()
+    a, b = bands[pcr.ExecutionMode.CPU], bands[pcr.ExecutionMode.GPU]
+    assert (np.isnan(a) == np.isnan(b)).all(), "NaN footprint mismatch"
+    m = ~np.isnan(a)
+    assert float(np.abs(a[m] - b[m]).max()) <= 1e-5
+
+
 def test_gaussian_pallas_tiled_clipping(monkeypatch):
     gc = make_grid_config(w=200.0, h=150.0, tile=64)
     spec = pcr.gaussian_splat_spec("v", default_sigma=2.0,

@@ -75,6 +75,19 @@ def test_gaussian_pallas_matches_oracle(monkeypatch):
     assert_close(oracle, got, atol=1e-4)
 
 
+def test_gauss_corr_offsets_routing():
+    """Candidate-set routing: tiny sigmas stay dense (None), mildly-small
+    sigmas get a small static offset set, comfortable sigmas none. The
+    worst-case sub-cell offset shifts the window asymmetrically (|d-sub|
+    peaks at d-1 for positive d), so negative corners bite first."""
+    from pcr_tpu.engine.tpu_backend import gauss_corr_offsets
+    assert gauss_corr_offsets(2, 0.5, 0.5) is None        # dense
+    assert gauss_corr_offsets(3, 1.0, 1.0) == ((-3, -3),)
+    assert gauss_corr_offsets(6, 2.0, 2.0) == ()          # plain separable
+    offs = gauss_corr_offsets(4, 1.2, 1.2)
+    assert offs is not None and (-4, -4) in offs and (4, 4) not in offs
+
+
 @pytest.mark.parametrize("sigma", [1.0, 1.3])
 def test_gaussian_small_sigma_corr_pass_matches_oracle(monkeypatch, sigma):
     """Mildly-small uniform sigmas route to the separable splat PLUS the

@@ -291,6 +291,11 @@ class Pipeline:
             import jax
             if (self.config.mesh_devices is not None
                     or self.config.mesh_dp > 1 or self.config.mesh_sp > 1):
+                if self.config.gpu_memory_budget:
+                    warnings.warn(
+                        "pcr_tpu: gpu_memory_budget is not honored on a "
+                        "mesh (state is already 1/sp-sharded per chip); "
+                        "ignoring it")
                 from ..parallel.engine import (
                     ShardedTpuEngine, resolve_mesh_devices)
                 devs = resolve_mesh_devices(self.config.mesh_devices)

@@ -37,7 +37,8 @@ from ..core.grid_config import GridConfig
 from ..core.types import ReductionType
 from ..ops.reduction import ReductionInfo
 
-__all__ = ["build_sorted_splat_pallas", "W_TILE", "round_up"]
+__all__ = ["build_sorted_splat_pallas", "build_rot_packed_pallas",
+           "W_TILE", "round_up"]
 
 W_TILE = int(os.environ.get("PCR_W_TILE", 256))  # column tile width
 
@@ -76,6 +77,197 @@ def gauss_col_tile(W: int, rmax: int) -> int:
     if 2 * rmax + 1 <= int(os.environ.get("PCR_GAUSS_NARROW_MAX", 32)):
         return min(128, col_tile(W))
     return col_tile(W)
+
+
+def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
+                            nsub: int, block: int, TH: int,
+                            interpret: bool = False,
+                            h_pad: int | None = None):
+    """Quarter-slot lane-packed rotated-Gaussian splat.
+
+    The unpacked 'rot' kernel (build_sorted_splat_pallas mode='rot')
+    evaluates each entry's quadratic form over a full (TH, 128) tile —
+    VPU-throughput-pinned at ~35 Mpts/s for sigma=4 because a 25-cell
+    window uses 25/128 of every lane op.  Its lane-packing analysis (see
+    that kernel's comment) measured a 156.9 Mpts/s ceiling with 4 points
+    packed into 32-lane slots, lost entirely to constructing ~10
+    lane-varying vectors per group.  This kernel removes that cost with
+    two structural changes the per-group variants couldn't express:
+
+      * **Whole-block expansion**: entries arrive slot-major (slot j of
+        a sub-chunk owns entries [j*G, (j+1)*G), paired across slots into
+        groups), so every per-entry quantity expands to its (G, 128) lane
+        form in ONE pass per sub-chunk — an exact 3-limb bf16 selection
+        matmul on the MXU ((4, G) transpose-contracted with a (4, 128)
+        one-hot; disjoint 8-bit mantissa limbs and a f32 accumulator
+        reconstruct any f32 bit-exactly), plus the whole lane-only half
+        of the math (column window mask, sheared dx term) vectorized over
+        all G groups at once.  The wire ships (nseg, 4, G) blocks — minor
+        dim G keeps the TPU (8, 128) tiling compact; a (..., G, 4) layout
+        would lane-pad the 4-wide minor dim 32x in HBM.
+      * **Group-batched tile math**: the splat loop processes GU groups
+        per iteration as (GU, TH, 128) elementwise ops, so per-group VMEM
+        load/loop overhead (~70 ns/group measured as dynamic (1, 128)
+        loads) amortizes 1/GU.
+
+    Slot j of a group covers exactly lanes [32j, 32j+32) = its entry's
+    assigned 32-column quarter of the state tile, so quarter restriction
+    is free by construction; entries are duplicated per (TH-row-block x
+    32-col-quarter) touched (tpu_backend._bucket_blocks_2d_packed) and
+    each copy's host-clipped [wlo, whi] x [rlo, rhi] window keeps copies
+    disjoint.  Semantics match glyph_kernels.cu:145-176 (3-sigma box,
+    1e-6 product cutoff) via the same completed-square algebra as the
+    unpacked kernel, bit-for-bit per contribution (accumulation order
+    differs).
+
+    Packed segments, all pre-converted f32, one per point (copies share
+    them): [xoff | yoff | s | sC | sA2 | f0 | wlo | whi | rlo | rhi]."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = cfg.height, cfg.width
+    WT = 128
+    W_pad = padded_width(W)
+    assert W_pad % WT == 0
+    ncb = W_pad // WT
+    rtype = ReductionType(info.type)
+    nf = 2 if rtype in (ReductionType.WeightedAverage,
+                        ReductionType.Average) else 1
+    nseg = 10
+    G = block // 4
+    GU = int(os.environ.get("PCR_ROTP_GU", 512))
+    assert block % 4 == 0 and G % GU == 0
+    H_pad = h_pad if h_pad else round_up(H, TH)
+    assert H_pad % TH == 0
+    nb_total = (H_pad // TH) * ncb
+
+    def kernel(bids_ref, params_ref, *refs):
+        INF = jnp.float32(np.inf)
+        CUT = jnp.float32(-19.931569)   # -ln(1e6) * log2(e): w >= 1e-6
+        st_refs = refs[:nf]
+        out_refs = refs[nf:2 * nf]
+        scr_gq, scr_m, scr_sc, scr_rlo, scr_rhi, scr_f0 = refs[2 * nf:]
+        i = pl.program_id(0)
+        prev = bids_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, bids_ref[i] != prev)
+        alive = bids_ref[i] < nb_total
+        first = jnp.logical_and(first, alive)
+        bid = jnp.minimum(bids_ref[i], nb_total - 1)
+        row0 = (bid // ncb) * TH
+        col0 = (bid % ncb) * WT
+
+        @pl.when(first)
+        def _():
+            for f in range(nf):
+                out_refs[f][:] = st_refs[f][:]
+
+        @pl.when(alive)
+        def _():
+            if interpret:
+                # XLA:CPU unsoundly folds bf16 residuals under jit (see
+                # the acc_dot interpret note in the sibling kernel); a
+                # plain lane-repeat is exact and lowers fine off-TPU.
+                ex = lambda q: jnp.repeat(params_ref[0, q].T, 32, axis=1)
+            else:
+                lane_j = jax.lax.broadcasted_iota(
+                    jnp.int32, (4, WT), 1) // 32
+                row_j = jax.lax.broadcasted_iota(jnp.int32, (4, WT), 0)
+                S = (lane_j == row_j).astype(jnp.bfloat16)
+                dims = (((0,), (0,)), ((), ()))     # (4,G)^T @ (4,128)
+
+                def ex(q):
+                    a = params_ref[0, q]
+                    a0 = a.astype(jnp.bfloat16)
+                    r1 = a - a0.astype(jnp.float32)
+                    a1 = r1.astype(jnp.bfloat16)
+                    a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+                    d = lambda u: jax.lax.dot_general(
+                        u, S, dims, preferred_element_type=jnp.float32)
+                    return d(a0) + d(a1) + d(a2)
+
+            xoff, yoff, s_, sC, sA2 = (ex(q) for q in range(5))
+            f0, wlo, whi, rlo, rhi = (ex(q) for q in range(5, 10))
+            ws = (jax.lax.broadcasted_iota(jnp.int32, (1, WT), 1)
+                  + col0).astype(jnp.float32)
+            dx = ws + xoff                      # (G, WT)
+            u = dx * sA2
+            colm = (ws >= wlo) & (ws <= whi)
+            scr_gq[:] = jnp.where(colm, -(u * u), -INF)
+            scr_m[:] = (dx * s_ + yoff) * sC
+            scr_sc[:] = sC
+            # row-box compares ride pre-scaled bounds (sC > 0; products
+            # of distinct grid-sized ints by sC can't collide in f32)
+            scr_rlo[:] = rlo * sC
+            scr_rhi[:] = rhi * sC
+            scr_f0[:] = f0
+
+            hs = (jax.lax.broadcasted_iota(jnp.int32, (1, TH), 1)
+                  + row0).astype(jnp.float32).reshape(1, TH, 1)
+
+            STUB = os.environ.get("PCR_ROTP_STUB", "")
+
+            def body(t, accs):
+                g0 = pl.multiple_of(t * GU, GU)
+                ld = lambda r: r[pl.ds(g0, GU), :].reshape(GU, 1, WT)
+                gq, m, sc = ld(scr_gq), ld(scr_m), ld(scr_sc)
+                rl, rh, f0v = ld(scr_rlo), ld(scr_rhi), ld(scr_f0)
+                hsC = hs * sc                   # (GU, TH, WT)
+                v = hsC + m
+                q2n = gq - v * v
+                if STUB == "norm":          # profiling: drop row-box mask
+                    cond = q2n >= CUT
+                else:
+                    cond = (q2n >= CUT) & (hsC >= rl) & (hsC <= rh)
+                if STUB == "noexp":         # profiling: skip the exp2
+                    w = jnp.where(cond, q2n, 0.0)
+                else:
+                    w = jnp.exp2(jnp.where(cond, q2n, -INF))
+                out = [accs[0] + jnp.sum(f0v * w, axis=0)]
+                if nf == 2:
+                    out.append(accs[1] + jnp.sum(w, axis=0))
+                return tuple(out)
+
+            accs = jax.lax.fori_loop(
+                0, G // GU, body,
+                tuple(jnp.zeros((TH, WT), jnp.float32) for _ in range(nf)))
+            for f in range(nf):
+                out_refs[f][:] += accs[f]
+
+    state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)
+    clamp = lambda b: jnp.minimum(b, nb_total - 1)
+    state_spec = lambda: pl.BlockSpec(
+        (TH, WT),
+        lambda i, bids: (clamp(bids[i]) // ncb, clamp(bids[i]) % ncb))
+    params_spec = pl.BlockSpec((1, nseg, 4, G),
+                               lambda i, bids: (i, 0, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsub,),
+        in_specs=[params_spec] + [state_spec() for _ in range(nf)],
+        out_specs=[state_spec() for _ in range(nf)],
+        scratch_shapes=[pltpu.VMEM((G, WT), jnp.float32)
+                        for _ in range(6)],
+    )
+    params = (None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=int(os.environ.get("PCR_VMEM_LIMIT",
+                                            96 * 1024 * 1024))))
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[state_shape] * nf,
+        interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
+    )
+
+    def update(states, params_2d, bids):
+        params_4d = jax.lax.bitcast_convert_type(
+            params_2d.reshape(nsub, nseg, 4, G), jnp.float32)
+        out = call(bids, params_4d, *states)
+        return tuple(out)
+
+    return update
 
 
 def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,

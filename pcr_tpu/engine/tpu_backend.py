@@ -452,6 +452,11 @@ GAUSS_ROW_BLOCK = 128          # TH: rows per block in the sorted splat
 # (the kernel evaluates TH*WT cells per point), narrower cols cut halo.
 ROT_ROW_BLOCK = int(os.environ.get("PCR_ROT_ROW_BLOCK", 32))
 ROT_COL_TILE = int(os.environ.get("PCR_ROT_COL_TILE", 128))
+# Packed rot splat (build_rot_packed_pallas): short row blocks win because
+# the 4-slot lane packing already amortizes per-entry overhead; the radius
+# gate bounds halo duplication (copies ~ (1+2r/TH)(1+2r/32) per point).
+ROTP_ROW_BLOCK = int(os.environ.get("PCR_ROTP_ROW_BLOCK", 16))
+ROTP_RMAX = int(os.environ.get("PCR_ROTP_RMAX", 16))
 PALLAS_BLOCK = int(os.environ.get("PCR_PALLAS_BLOCK", 2048))  # entries per sub-chunk (VMEM-bounded)
 _SUB_LADDER = (8, 32, 128, 512, 1024, 1536, 2048)  # nsub buckets (bounded jits)
 
@@ -902,6 +907,76 @@ class TpuEngine:
         return self._layout_blocks(idx, eb, nblocks, block, seg_arrays,
                                    "sub_major")
 
+    def _bucket_blocks_2d_packed(self, rlo, rhi, wlo, whi, ncb, block,
+                                 seg_arrays, th):
+        """Quarter-interleaved 2-D bucketing for the packed rot splat
+        (pallas_kernels.build_rot_packed_pallas): entries are duplicated
+        per (th-row-block x 32-col-quarter) their clipped window
+        [wlo, whi] x [rlo, rhi] touches, and laid out slot-major: within
+        a sub-chunk, lane-slot j (quarter index mod 4) owns entry run
+        [j*G, (j+1)*G), entries pairing across slots by rank into packed
+        groups — the kernel's 4 slots then map straight onto the state
+        tile's 32-lane quarters.  Per (row-block, col-block) bucket the
+        four quarter lists are zipped with dead-slot padding to the
+        longest, so group count = max quarter count (ragged quarters
+        cost padding, never correctness)."""
+        n = len(rlo)
+        ncq = ncb * 4
+        rb0 = np.clip(rlo.astype(np.int64) // th, 0, None)
+        rb1 = np.maximum(rhi.astype(np.int64) // th, rb0)
+        qb0 = np.clip(wlo.astype(np.int64) // 32, 0, None)
+        qb1 = np.maximum(whi.astype(np.int64) // 32, qb0)
+        kr = rb1 - rb0 + 1
+        kq = qb1 - qb0 + 1
+        k = kr * kq
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        starts = np.zeros(n, np.int64)
+        np.cumsum(k[:-1], out=starts[1:])
+        o = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, k)
+        kq_e = kq[idx]
+        rb = rb0[idx] + o // kq_e
+        q = qb0[idx] + o % kq_e
+        fine = rb * ncq + q                  # (coarse block) * 4 + slot
+        nbc = (self.H_pad // th) * ncb
+        G = block // 4
+        order = np.argsort(fine, kind="stable")
+        sf = fine[order]
+        cf = np.bincount(sf, minlength=nbc * 4).reshape(nbc, 4)
+        maxq = cf.max(axis=1)
+        ng_b = np.maximum(-(-maxq // G), 1) * G      # groups per block
+        subs_b = ng_b // G
+        nsub_real = int(subs_b.sum())
+        nsub = _nsub_bucket(max(nsub_real, 1,
+                                getattr(self, "_nsub_floor", 1)))
+        E = nsub * block
+        base_b = np.zeros(nbc, np.int64)
+        np.cumsum(ng_b[:-1] * 4, out=base_b[1:])     # entry offsets
+        fstarts = np.zeros(nbc * 4, np.int64)
+        np.cumsum(cf.reshape(-1)[:-1], out=fstarts[1:])
+        srank = np.arange(len(sf), dtype=np.int64) - fstarts[sf]
+        # slot-major within each sub-chunk: slot j at [j*G, (j+1)*G)
+        pos = (base_b[sf >> 2] + (srank // G) * block
+               + (sf & 3) * G + srank % G)
+        slots_src = np.full(E, -1, np.int64)
+        slots_src[pos] = idx[order]
+        bids = np.zeros(nsub, np.int32)
+        bids[:nsub_real] = np.repeat(
+            np.arange(nbc, dtype=np.int32), subs_b)
+        if nsub_real < nsub:                 # ladder pad: extend last run
+            bids[nsub_real:] = bids[max(nsub_real - 1, 0)]
+        from .. import native
+        if native.available():
+            nseg = len(seg_arrays)
+            buf = np.empty(nseg * E + nsub, dtype=np.int32)
+            native.pack_sub_major(slots_src, None, seg_arrays, nsub,
+                                  block, out=buf[: nseg * E])
+            buf[nseg * E:] = bids
+            return buf, nsub, E
+        live = slots_src >= 0
+        sel = np.maximum(slots_src, 0)
+        return self._pack_layout(sel, live, bids, nsub, E, block,
+                                 seg_arrays, "sub_major")
+
     def _layout_blocks(self, idx, eb, nblocks, block, seg_arrays, layout):
         visit_all = layout == "sub_major"
         from .. import native
@@ -1013,11 +1088,16 @@ class TpuEngine:
         h_pad = self.H_pad
 
         def build():
-            from .pallas_kernels import build_sorted_splat_pallas
-            upd = build_sorted_splat_pallas(
-                info, cfg, nsub, block, TH, point_mode, with_f1, interpret,
-                two_d=two_d, wt=wt, h_pad=h_pad,
-                corr_offsets=corr_offsets)
+            from .pallas_kernels import (build_rot_packed_pallas,
+                                         build_sorted_splat_pallas)
+            if point_mode == "rotp":
+                upd = build_rot_packed_pallas(info, cfg, nsub, block, TH,
+                                              interpret, h_pad=h_pad)
+            else:
+                upd = build_sorted_splat_pallas(
+                    info, cfg, nsub, block, TH, point_mode, with_f1,
+                    interpret, two_d=two_d, wt=wt, h_pad=h_pad,
+                    corr_offsets=corr_offsets)
 
             def fn(states, buf):
                 params_2d = buf[: nseg * E].reshape(nsub, nseg * block)
@@ -1548,6 +1628,69 @@ class TpuEngine:
             start = end
         return staged
 
+    def _prepare_gaussian_rotp(self, spec_idx, gp, valid, r, values, info):
+        """Stage rotated (or any dense-routed) Gaussians through the
+        quarter-slot lane-packed splat (build_rot_packed_pallas): the
+        completed-square coefficients of the old 'rot' kernel plus
+        host-clipped per-point window bounds [wlo, whi] x [rlo, rhi]
+        (grid + home-tile clips folded in, so the kernel needs no tile
+        branches).  Same algebra and 1e-6 product cutoff as
+        glyph_kernels.cu:145-176."""
+        from .pallas_kernels import padded_width
+        n = len(values)
+        TH = ROTP_ROW_BLOCK
+        block = min(PALLAS_BLOCK, 2048)
+        ncb = padded_width(self.W) // 128
+        rtype = ReductionType(info.type)
+        f0 = (np.ones(n, np.float32)
+              if rtype == ReductionType.Count else
+              np.asarray(values, np.float32))
+        # completed-square fold (see the rot branch below for the algebra)
+        inv_sx = np.float32(0.7071067811865476) / gp.sx
+        inv_sy = np.float32(0.7071067811865476) / gp.sy
+        c1 = gp.cos_rot * inv_sx
+        c2 = -gp.sin_rot * inv_sx
+        c3 = gp.sin_rot * inv_sy
+        c4 = gp.cos_rot * inv_sy
+        A = c1 * c1 + c3 * c3
+        B = c1 * c2 + c3 * c4
+        C = c2 * c2 + c4 * c4
+        s_l2e = np.float32(1.2011224087864498)
+        icx = gp.icx.astype(np.int64)
+        icy = gp.icy.astype(np.int64)
+        rr = r.astype(np.int64)
+        W1, H1 = self.W - 1, self.H - 1
+        wlo = np.maximum(icx - rr, 0)
+        whi = np.minimum(icx + rr, W1)
+        rlo = np.maximum(icy - rr, 0)
+        rhi = np.minimum(icy + rr, H1)
+        if self.cfg.total_tiles() > 1:
+            tw, th_t = self.cfg.tile_width, self.cfg.tile_height
+            cs = (np.clip(icx, 0, W1) // tw) * tw
+            rs = (np.clip(icy, 0, H1) // th_t) * th_t
+            wlo = np.maximum(wlo, cs)
+            whi = np.minimum(whi, np.minimum(cs + tw - 1, W1))
+            rlo = np.maximum(rlo, rs)
+            rhi = np.minimum(rhi, np.minimum(rs + th_t - 1, H1))
+        # invalid points carry an empty window (one dead copy in block 0)
+        wlo = np.where(valid, wlo, 1).astype(np.float32)
+        whi = np.where(valid, whi, 0).astype(np.float32)
+        rlo = np.where(valid, rlo, 0).astype(np.float32)
+        rhi = np.where(valid, rhi, 0).astype(np.float32)
+        segs = [(-(gp.icx.astype(np.float32) + gp.sub_cx), 0.0),
+                (-(gp.icy.astype(np.float32) + gp.sub_cy), 0.0),
+                (B / C, 0.0),
+                (np.sqrt(C) * s_l2e, 1.0),
+                (np.sqrt(np.maximum(A - B * B / C, 0.0)) * s_l2e, 0.0),
+                (f0, 0.0),
+                (wlo, 1.0), (whi, 0.0), (rlo, 0.0), (rhi, 0.0)]
+        buf, nsub, E = self._bucket_blocks_2d_packed(
+            rlo, rhi, wlo, whi, ncb, block, segs, TH)
+        key = ("pallas_rotp", spec_idx, nsub, block, TH)
+        builder = self._pallas_builder(info, nsub, block, TH, "rotp",
+                                       False, len(segs), E)
+        return [StagedChunk(key, self._put(buf), builder, n)]
+
     def prepare_gaussian(self, spec_idx: int, gp, valid, values,
                          block: int = 4_096, wire_cheap: bool = False):
         """Stage Gaussian chunks (gp: routing.GaussianParams).
@@ -1592,6 +1735,12 @@ class TpuEngine:
                 if offs is not None:
                     corr = offs
                     dense = False
+        if (dense and self.pallas != "off"
+                and max(int(r[valid].max()) if valid.any() else 0,
+                        getattr(self, "_rmax_floor", 0)) <= ROTP_RMAX
+                and os.environ.get("PCR_ROT_PACKED", "1") == "1"):
+            return self._prepare_gaussian_rotp(spec_idx, gp, valid, r,
+                                               values, info)
         if dense and self.pallas != "off":
             # Dense rotated splat: 2-D bucketing over short (ROT_ROW_BLOCK)
             # row blocks, each point evaluating its exact quadratic form

@@ -169,26 +169,36 @@ def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
                 # XLA:CPU unsoundly folds bf16 residuals under jit (see
                 # the acc_dot interpret note in the sibling kernel); a
                 # plain lane-repeat is exact and lowers fine off-TPU.
-                ex = lambda q: jnp.repeat(params_ref[0, q].T, 32, axis=1)
+                ex = lambda q: jnp.repeat(
+                    params_ref[0][:, q * G:(q + 1) * G].T, 32, axis=1)
+                exs = [ex(q) for q in range(nseg)]
             else:
+                # ONE selection matmul expands the whole block: the wire is
+                # quad-major so params_ref[0] is (4, nseg*G) with each seg a
+                # contiguous G-run; the 3 disjoint-mantissa bf16 limbs ride
+                # as extra K rows (K=12) of the same dot — limb partial
+                # sums are exact in ANY accumulation order, so one
+                # (12, nseg*G)^T @ (12, WT) dot reconstructs every f32
+                # bit-exactly while replacing 30 small dots (10 segs x 3
+                # limbs) whose per-dot dispatch overhead was ~half the
+                # kernel's non-splat time.
                 lane_j = jax.lax.broadcasted_iota(
                     jnp.int32, (4, WT), 1) // 32
                 row_j = jax.lax.broadcasted_iota(jnp.int32, (4, WT), 0)
                 S = (lane_j == row_j).astype(jnp.bfloat16)
-                dims = (((0,), (0,)), ((), ()))     # (4,G)^T @ (4,128)
+                dims = (((0,), (0,)), ((), ()))   # (12,nseg*G)^T @ (12,WT)
+                a = params_ref[0]                 # (4, nseg*G)
+                a0 = a.astype(jnp.bfloat16)
+                r1 = a - a0.astype(jnp.float32)
+                a1 = r1.astype(jnp.bfloat16)
+                a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+                A12 = jnp.concatenate([a0, a1, a2], axis=0)
+                S12 = jnp.concatenate([S, S, S], axis=0)
+                EX = jax.lax.dot_general(A12, S12, dims,
+                                         preferred_element_type=jnp.float32)
+                exs = [EX[q * G:(q + 1) * G] for q in range(nseg)]
 
-                def ex(q):
-                    a = params_ref[0, q]
-                    a0 = a.astype(jnp.bfloat16)
-                    r1 = a - a0.astype(jnp.float32)
-                    a1 = r1.astype(jnp.bfloat16)
-                    a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
-                    d = lambda u: jax.lax.dot_general(
-                        u, S, dims, preferred_element_type=jnp.float32)
-                    return d(a0) + d(a1) + d(a2)
-
-            xoff, yoff, s_, sC, sA2 = (ex(q) for q in range(5))
-            f0, wlo, whi, rlo, rhi = (ex(q) for q in range(5, 10))
+            xoff, yoff, s_, sC, sA2, f0, wlo, whi, rlo, rhi = exs
             ws = (jax.lax.broadcasted_iota(jnp.int32, (1, WT), 1)
                   + col0).astype(jnp.float32)
             dx = ws + xoff                      # (G, WT)
@@ -240,8 +250,8 @@ def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
     state_spec = lambda: pl.BlockSpec(
         (TH, WT),
         lambda i, bids: (clamp(bids[i]) // ncb, clamp(bids[i]) % ncb))
-    params_spec = pl.BlockSpec((1, nseg, 4, G),
-                               lambda i, bids: (i, 0, 0, 0))
+    params_spec = pl.BlockSpec((1, 4, nseg * G),
+                               lambda i, bids: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsub,),
@@ -262,9 +272,9 @@ def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
     )
 
     def update(states, params_2d, bids):
-        params_4d = jax.lax.bitcast_convert_type(
-            params_2d.reshape(nsub, nseg, 4, G), jnp.float32)
-        out = call(bids, params_4d, *states)
+        params_3d = jax.lax.bitcast_convert_type(
+            params_2d.reshape(nsub, 4, nseg * G), jnp.float32)
+        out = call(bids, params_3d, *states)
         return tuple(out)
 
     return update

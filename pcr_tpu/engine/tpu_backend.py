@@ -969,13 +969,13 @@ class TpuEngine:
             nseg = len(seg_arrays)
             buf = np.empty(nseg * E + nsub, dtype=np.int32)
             native.pack_sub_major(slots_src, None, seg_arrays, nsub,
-                                  block, out=buf[: nseg * E])
+                                  block, out=buf[: nseg * E], quad=True)
             buf[nseg * E:] = bids
             return buf, nsub, E
         live = slots_src >= 0
         sel = np.maximum(slots_src, 0)
         return self._pack_layout(sel, live, bids, nsub, E, block,
-                                 seg_arrays, "sub_major")
+                                 seg_arrays, "quad_major")
 
     def _layout_blocks(self, idx, eb, nblocks, block, seg_arrays, layout):
         visit_all = layout == "sub_major"
@@ -1072,6 +1072,13 @@ class TpuEngine:
             buf[: nseg * E] = np.ascontiguousarray(
                 params.reshape(nseg, nsub, block).transpose(1, 0, 2)
             ).reshape(-1)
+        elif layout == "quad_major":
+            # packed rot splat: [sub][slot(4)][seg][G] so the kernel can
+            # flatten (4, nseg, G) -> (4, nseg*G) for ONE selection matmul
+            params = np.stack(gathered)            # (nseg, E), slot-major
+            buf[: nseg * E] = np.ascontiguousarray(
+                params.reshape(nseg, nsub, 4, block // 4)
+                .transpose(1, 2, 0, 3)).reshape(-1)
         else:
             for i, a in enumerate(gathered):
                 buf[i * E:(i + 1) * E] = a

@@ -95,6 +95,7 @@ def _load():
         i64, i64, ctypes.c_int32, ctypes.POINTER(ctypes.POINTER(
             ctypes.c_int32)), i, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, i]
+    lib.pcr_pack_quad_major.argtypes = lib.pcr_pack_sub_major.argtypes
     lib.pcr_pack_point_wire.argtypes = [
         i, i, u8, f, f, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i]
@@ -323,13 +324,16 @@ def bucket_layout(eb: np.ndarray, nblocks: int, block: int,
 
 
 def pack_sub_major(slots: np.ndarray, idx, seg_arrays, nsub: int,
-                   block: int, out: np.ndarray | None = None) -> np.ndarray:
+                   block: int, out: np.ndarray | None = None,
+                   quad: bool = False) -> np.ndarray:
     """Fused gather+fill+sub_major pack (see router.cpp pcr_pack_sub_major).
 
     slots: int64 (nsub*block,) slot→entry map (-1 = padding); idx: int64
     entry→source map or None (identity); seg_arrays: list of (array, fill)
     where float arrays are bit-viewed into the int32 buffer. Returns the
-    packed int32 buffer of nseg*E ints (bids are appended by the caller)."""
+    packed int32 buffer of nseg*E ints (bids are appended by the caller).
+    quad=True emits the quad-major layout [sub][slot(4)][seg][block/4]
+    consumed by the packed rot splat (pcr_pack_quad_major)."""
     L = _load()
     nseg = len(seg_arrays)
     E = nsub * block
@@ -358,10 +362,10 @@ def pack_sub_major(slots: np.ndarray, idx, seg_arrays, nsub: int,
         idx = np.ascontiguousarray(idx, np.int64)
         idxp = idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         has_idx = 1
-    L.pcr_pack_sub_major(
-        slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), idxp,
-        has_idx, ptrs, _ptr(fills, ctypes.c_int32), nseg, nsub, block,
-        _ptr(out, ctypes.c_int32))
+    fn = L.pcr_pack_quad_major if quad else L.pcr_pack_sub_major
+    fn(slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), idxp,
+       has_idx, ptrs, _ptr(fills, ctypes.c_int32), nseg, nsub, block,
+       _ptr(out, ctypes.c_int32))
     return out
 
 

@@ -589,6 +589,42 @@ void pcr_pack_sub_major(const int64_t* slots, const int64_t* idx,
     }
 }
 
+// Quad-major variant for the packed rotated-Gaussian splat: the block's
+// four 32-lane slots become the OUTER dim so the device kernel can flatten
+// (4, nseg, G) -> (4, nseg*G) for one whole-block selection matmul:
+// out[s*(nseg*block) + q*(nseg*G) + g*G + j] with G = block/4, q = slot,
+// j = rank within the slot (slots[] is slot-major within each sub-chunk:
+// position q*G + j).
+void pcr_pack_quad_major(const int64_t* slots, const int64_t* idx,
+                         int32_t has_idx,
+                         const int32_t* const* segs, const int32_t* fills,
+                         int32_t nseg, int64_t nsub, int32_t block,
+                         int32_t* out)
+{
+    const int32_t G = block / 4;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t s = 0; s < nsub; ++s) {
+        const int64_t* sl = slots + s * (int64_t)block;
+        int32_t* base = out + s * (int64_t)nseg * block;
+        for (int32_t q = 0; q < 4; ++q) {
+            const int64_t* slq = sl + (int64_t)q * G;
+            int32_t* dstq = base + (int64_t)q * nseg * G;
+            for (int32_t g = 0; g < nseg; ++g) {
+                const int32_t* src = segs[g];
+                const int32_t fill = fills[g];
+                int32_t* dst = dstq + (int64_t)g * G;
+                for (int32_t j = 0; j < G; ++j) {
+                    const int64_t p = slq[j];
+                    dst[j] = (p < 0) ? fill
+                                     : src[has_idx ? idx[p] : p];
+                }
+            }
+        }
+    }
+}
+
 } // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -137,7 +137,11 @@ def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
                         ReductionType.Average) else 1
     nseg = 10
     G = block // 4
-    GU = int(os.environ.get("PCR_ROTP_GU", 512))
+    # Group-batch width: 16 beats 512 by ~4% (68.2 vs 65.3 Mpts/s
+    # accumulate at 5M, best-of-6; benchmark_results/rotp_tuning3.json +
+    # rotp_head2head) — small batches keep the (GU, TH, 128) working set
+    # VMEM-resident across the exp2.
+    GU = int(os.environ.get("PCR_ROTP_GU", 16))
     assert block % 4 == 0 and G % GU == 0
     H_pad = h_pad if h_pad else round_up(H, TH)
     assert H_pad % TH == 0

@@ -79,6 +79,30 @@ def gauss_col_tile(W: int, rmax: int) -> int:
     return col_tile(W)
 
 
+def gauss_row_block(W: int, rmax: int) -> int:
+    """Row block height for Gaussian splats, radius-adaptive. The kernel
+    is VPU factor-generation bound (merging its two MXU dots into one
+    moved accumulate <2%), and the wy factor costs ~TH lanes per entry,
+    so short windows want short row blocks; halo duplication
+    (~1 + (w-1)/TH row copies per point) bounds how short. Pick the
+    TH in {32, 64, 128} minimizing the measured-shape cost model
+    dup_r * dup_c * (TH + WT + c): for sigma=1 (w=7) that is 32, for
+    sigma=4 (w=25) 64, for sigma=16 (w=65) 128. Every candidate divides
+    H_pad (rounded to 128)."""
+    env = os.environ.get("PCR_GAUSS_TH")
+    if env:
+        return int(env)
+    w = 2 * rmax + 1
+    wt = gauss_col_tile(W, rmax)
+    best, bc = 128, float("inf")
+    for th in (32, 64, 128):
+        c = ((1 + (w - 1) / th) * (1 + (w - 1) / wt)
+             * (th + wt + 30))
+        if c < bc:
+            best, bc = th, c
+    return best
+
+
 def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
                             nsub: int, block: int, TH: int,
                             interpret: bool = False,
@@ -618,12 +642,29 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                     wx = jnp.where(mx, wx, 0.0)
 
                 sl = pl.ds(wt * WT, WT)
-                out_refs[0][:, sl] += acc_dot(wy, wx * f0)
-                if nf == 2:
-                    if with_f1:
-                        out_refs[1][:, sl] += acc_dot(wy, wx * f1)
-                    else:
-                        out_refs[1][:, sl] += acc_dot(wy, wx, exact_b=True)
+                if mode == "gauss" and nf == 2:
+                    # One (block, 2*WT) dot instead of two: the kernel is
+                    # dot-DISPATCH-bound, not MXU-pass-bound (the 4-pass
+                    # bf16 experiment above moved it ~6%), so halving the
+                    # dot count is nearly free MXU-wise while saving the
+                    # per-dot Mosaic loop overhead. Bit-exact vs the two
+                    # separate dots: every output column is an independent
+                    # contraction over the same operand column in the same
+                    # order, and the f0 / weight halves occupy the same
+                    # column positions as before.
+                    b2 = jnp.concatenate(
+                        [wx * f0, wx * f1 if with_f1 else wx], axis=1)
+                    R = acc_dot(wy, b2)
+                    out_refs[0][:, sl] += R[:, :WT]
+                    out_refs[1][:, sl] += R[:, WT:]
+                else:
+                    out_refs[0][:, sl] += acc_dot(wy, wx * f0)
+                    if nf == 2:
+                        if with_f1:
+                            out_refs[1][:, sl] += acc_dot(wy, wx * f1)
+                        else:
+                            out_refs[1][:, sl] += acc_dot(wy, wx,
+                                                          exact_b=True)
 
                 if mode == "gauss" and corr_offsets:
                     # exact-cancellation product-cutoff correction (see
@@ -660,9 +701,19 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                                                          H)))
                         gy = jnp.where(hs_i == cr, wyc, 0.0)
                         gx = jnp.where((ws_i == cc) & live, wxc, 0.0)
-                        out_refs[0][:, sl] += acc_dot(gy, gx * (-f0))
                         if nf == 2:
-                            out_refs[1][:, sl] += acc_dot(gy, -gx)
+                            # same merged-dot shape and column positions
+                            # as the main contraction above, so each
+                            # corr column's sum reproduces the main
+                            # column's sum bit-for-bit (exact
+                            # cancellation still nets +0.0)
+                            gb2 = jnp.concatenate([gx * (-f0), -gx],
+                                                  axis=1)
+                            Rg = acc_dot(gy, gb2)
+                            out_refs[0][:, sl] += Rg[:, :WT]
+                            out_refs[1][:, sl] += Rg[:, WT:]
+                        else:
+                            out_refs[0][:, sl] += acc_dot(gy, gx * (-f0))
 
     state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)
     clamp = lambda b: jnp.minimum(b, nb_total - 1)

@@ -1842,19 +1842,24 @@ class TpuEngine:
         if self.pallas != "off":
             # 2-D (row-block x col-block) bucketing: the kernel's factor
             # matmul then spans only (TH, CT) per sub-chunk.
-            from .pallas_kernels import gauss_col_tile, padded_width
+            from .pallas_kernels import (gauss_col_tile, gauss_row_block,
+                                         padded_width)
             block = min(block, PALLAS_BLOCK)   # bounded by scoped VMEM
             # _rmax_floor: the sharded engine forces a common rmax across
             # sp shards (WT and the dense scan length feed jit keys)
             rmax = max(int(r.max()) if n else 0, 0,
                        getattr(self, "_rmax_floor", 0))
             WT = gauss_col_tile(self.W, rmax)
+            TH = gauss_row_block(self.W, rmax)   # radius-adaptive rows
+            nrb = self.H_pad // TH
+            blk0 = np.where(valid, np.clip((icy - r) // TH, 0, nrb - 1), 0)
+            blk1 = np.where(valid, np.clip((icy + r) // TH, 0, nrb - 1), 0)
             ncb = padded_width(self.W) // WT
             icx = gp.icx.astype(np.int64)
             cb0 = np.where(valid, np.clip((icx - r) // WT, 0, ncb - 1), 0)
             cb1 = np.where(valid, np.clip((icx + r) // WT, 0, ncb - 1), 0)
             buf, nsub, E = self._bucket_blocks_2d(blk0, blk1, cb0, cb1,
-                                                  ncb, block, segs)
+                                                  ncb, block, segs, th=TH)
             key = ("pallas_gauss2d", spec_idx, nsub, block, TH, WT, corr)
             builder = self._pallas_builder(info, nsub, block, TH, False,
                                            False, len(segs), E, two_d=True,

@@ -757,6 +757,12 @@ class TpuEngine:
         # and the finalize ride a single dispatch.
         self._pending = []
         self._pending_cap = int(os.environ.get("PCR_PENDING_CAP", 12))
+        # Reusable host staging buffers (see _arena): GB-scale np.empty on
+        # this VM class faults pages at ~70 MB/s, so a fresh pack buffer
+        # costs more than the pack itself (measured 17.0 s fresh vs 2.9 s
+        # reused for a 1 GB quad-major pack).
+        self._arena_bufs: dict = {}
+        self._arena_pending: dict = {}
         from .glyph import GlyphType
         for spec, info in plans:
             self._pending.append([])
@@ -850,9 +856,47 @@ class TpuEngine:
             o += ln
         return out
 
-    def _put(self, buf: np.ndarray):
+    def _put(self, buf: np.ndarray, arena: str | None = None):
         import jax
-        return jax.device_put(buf, self.device)
+        y = jax.device_put(buf, self.device)
+        if arena is not None:
+            # the host buffer is arena-backed: remember the device array
+            # so the next checkout can block until the transfer finished
+            # before the buffer is overwritten
+            self._arena_pending[arena] = y
+        return y
+
+    def _arena(self, name: str, count: int, dtype,
+               crosses_device: bool = False) -> np.ndarray:
+        """Reusable host scratch buffer (grown geometrically, returned as
+        a view of exactly `count` elements). First-touch page faults on
+        GB-scale fresh allocations cost ~70 MB/s on this VM class —
+        several times the work they back — so staging layouts check
+        buffers out of this arena instead of np.empty'ing per call.
+
+        crosses_device=True marks buffers handed to jax.device_put: on
+        the CPU backend device_put may alias host memory zero-copy, so
+        reuse is disabled there (fresh allocation each time); elsewhere
+        the checkout first blocks on the previous put's transfer.
+        Engine prepare_* calls are externally serialized (they mutate
+        engine state), which is what makes a single buffer per name
+        safe."""
+        if crosses_device and getattr(self.device, "platform",
+                                      "cpu") == "cpu":
+            return np.empty(count, dtype)
+        pend = self._arena_pending.pop(name, None)
+        if pend is not None:
+            import jax
+            try:
+                jax.block_until_ready(pend)
+            except Exception:
+                pass
+        buf = self._arena_bufs.get(name)
+        nbytes = count * np.dtype(dtype).itemsize
+        if buf is None or buf.nbytes < nbytes:
+            buf = np.empty(int(nbytes * 5 // 4) + 256, np.uint8)
+            self._arena_bufs[name] = buf
+        return buf[:nbytes].view(dtype)
 
     # -- sorted row-block bucketing (shared by Point and Gaussian fast paths) --
 
@@ -922,6 +966,41 @@ class TpuEngine:
         cost padding, never correctness)."""
         n = len(rlo)
         ncq = ncb * 4
+        nbc = (self.H_pad // th) * ncb
+        G = block // 4
+        from .. import native
+        if native.available():
+            # fused two-pass native layout: the histogram comes straight
+            # off the per-point ranges and placement iterates points in
+            # order (identical to the stable-argsort layout below, but
+            # with no E-length intermediates — the numpy path's ~10
+            # int64 passes plus radix sort cost minutes at 5M points on
+            # a 1-core host, mostly first-touch page faults)
+            cf = native.rotp_counts(rlo, rhi, wlo, whi, th, ncb, nbc)
+            maxq = cf.max(axis=1)
+            ng_b = np.maximum(-(-maxq // G), 1) * G  # groups per block
+            subs_b = ng_b // G
+            nsub_real = int(subs_b.sum())
+            nsub = _nsub_bucket(max(nsub_real, 1,
+                                    getattr(self, "_nsub_floor", 1)))
+            E = nsub * block
+            base_b = np.zeros(nbc, np.int64)
+            np.cumsum(ng_b[:-1] * 4, out=base_b[1:])  # entry offsets
+            slots = self._arena("rotp_slots", E, np.int64)
+            native.rotp_place(rlo, rhi, wlo, whi, th, ncb, nbc, base_b,
+                              G, block, slots)
+            bids = np.zeros(nsub, np.int32)
+            bids[:nsub_real] = np.repeat(
+                np.arange(nbc, dtype=np.int32), subs_b)
+            if nsub_real < nsub:             # ladder pad: extend last run
+                bids[nsub_real:] = bids[max(nsub_real - 1, 0)]
+            nseg = len(seg_arrays)
+            buf = self._arena("rotp_buf", nseg * E + nsub, np.int32,
+                              crosses_device=True)
+            native.pack_sub_major(slots, None, seg_arrays, nsub,
+                                  block, out=buf[: nseg * E], quad=True)
+            buf[nseg * E:] = bids
+            return buf, nsub, E
         rb0 = np.clip(rlo.astype(np.int64) // th, 0, None)
         rb1 = np.maximum(rhi.astype(np.int64) // th, rb0)
         qb0 = np.clip(wlo.astype(np.int64) // 32, 0, None)
@@ -937,8 +1016,6 @@ class TpuEngine:
         rb = rb0[idx] + o // kq_e
         q = qb0[idx] + o % kq_e
         fine = rb * ncq + q                  # (coarse block) * 4 + slot
-        nbc = (self.H_pad // th) * ncb
-        G = block // 4
         order = np.argsort(fine, kind="stable")
         sf = fine[order]
         cf = np.bincount(sf, minlength=nbc * 4).reshape(nbc, 4)
@@ -964,14 +1041,6 @@ class TpuEngine:
             np.arange(nbc, dtype=np.int32), subs_b)
         if nsub_real < nsub:                 # ladder pad: extend last run
             bids[nsub_real:] = bids[max(nsub_real - 1, 0)]
-        from .. import native
-        if native.available():
-            nseg = len(seg_arrays)
-            buf = np.empty(nseg * E + nsub, dtype=np.int32)
-            native.pack_sub_major(slots_src, None, seg_arrays, nsub,
-                                  block, out=buf[: nseg * E], quad=True)
-            buf[nseg * E:] = bids
-            return buf, nsub, E
         live = slots_src >= 0
         sel = np.maximum(slots_src, 0)
         return self._pack_layout(sel, live, bids, nsub, E, block,
@@ -1696,7 +1765,8 @@ class TpuEngine:
         key = ("pallas_rotp", spec_idx, nsub, block, TH)
         builder = self._pallas_builder(info, nsub, block, TH, "rotp",
                                        False, len(segs), E)
-        return [StagedChunk(key, self._put(buf), builder, n)]
+        return [StagedChunk(key, self._put(buf, arena="rotp_buf"),
+                            builder, n)]
 
     def prepare_gaussian(self, spec_idx: int, gp, valid, values,
                          block: int = 4_096, wire_cheap: bool = False):

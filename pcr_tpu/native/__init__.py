@@ -18,7 +18,7 @@ import numpy as np
 
 __all__ = ["available", "lib", "assign", "assign_cells", "fractional_cells",
            "gauss_wire_pack", "line_endpoints",
-           "lzw_encode", "lzw_decode"]
+           "lzw_encode", "lzw_decode", "rotp_counts", "rotp_place"]
 
 _LIB = None
 _TRIED = False
@@ -113,6 +113,14 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         i, i, i, i64]
+    lib.pcr_rotp_counts.argtypes = [f, f, f, f, ctypes.c_int64,
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    ctypes.c_int32, i]
+    lib.pcr_rotp_place.argtypes = [f, f, f, f, ctypes.c_int64,
+                                   ctypes.c_int32, ctypes.c_int32,
+                                   ctypes.c_int32, i64, i,
+                                   ctypes.c_int32, ctypes.c_int32,
+                                   i64, ctypes.c_int64]
     lib.pcr_fin_avg.argtypes = [f, f, f, ctypes.c_int64]
     lib.pcr_fin_sentinel.argtypes = [f, f, ctypes.c_int64, ctypes.c_float]
     lib.pcr_fin_count.argtypes = [f, f, ctypes.c_int64]
@@ -367,6 +375,40 @@ def pack_sub_major(slots: np.ndarray, idx, seg_arrays, nsub: int,
        has_idx, ptrs, _ptr(fills, ctypes.c_int32), nseg, nsub, block,
        _ptr(out, ctypes.c_int32))
     return out
+
+
+def rotp_counts(rlo, rhi, wlo, whi, th: int, ncb: int,
+                nbc: int) -> np.ndarray:
+    """Fused (row-block, quarter) histogram for the packed rot layout.
+    Inputs are the integral f32 window bounds; returns cf (nbc, 4) int32."""
+    L = _load()
+    n = len(rlo)
+    rlo, rhi, wlo, whi = (np.ascontiguousarray(a, np.float32)
+                          for a in (rlo, rhi, wlo, whi))
+    cf = np.empty(nbc * 4, np.int32)
+    L.pcr_rotp_counts(_ptr(rlo, ctypes.c_float), _ptr(rhi, ctypes.c_float),
+                      _ptr(wlo, ctypes.c_float), _ptr(whi, ctypes.c_float),
+                      n, th, ncb, nbc, _ptr(cf, ctypes.c_int32))
+    return cf.reshape(nbc, 4)
+
+
+def rotp_place(rlo, rhi, wlo, whi, th: int, ncb: int, nbc: int,
+               base_b: np.ndarray, G: int, block: int,
+               slots: np.ndarray) -> None:
+    """Fill `slots` (int64, prefilled to -1 inside) with the packed rot
+    layout: point-order iteration reproduces the numpy stable argsort's
+    slot assignment bit-for-bit (see router.cpp pcr_rotp_place)."""
+    L = _load()
+    n = len(rlo)
+    rlo, rhi, wlo, whi = (np.ascontiguousarray(a, np.float32)
+                          for a in (rlo, rhi, wlo, whi))
+    base_b = np.ascontiguousarray(base_b, np.int64)
+    counters = np.empty(nbc * 4, np.int32)
+    L.pcr_rotp_place(_ptr(rlo, ctypes.c_float), _ptr(rhi, ctypes.c_float),
+                     _ptr(wlo, ctypes.c_float), _ptr(whi, ctypes.c_float),
+                     n, th, ncb, nbc, _ptr(base_b, ctypes.c_int64),
+                     _ptr(counters, ctypes.c_int32), G, block,
+                     _ptr(slots, ctypes.c_int64), len(slots))
 
 
 def line_runs(ix0, iy0, ix1, iy1, valid, clip_cs, clip_rs, clip_ce,

@@ -768,4 +768,72 @@ void pcr_fin_count(const float* s, float* out, int64_t n)
         out[i] = s[i] > 0.0f ? s[i] : nan;
 }
 
+// ---------------------------------------------------------------------------
+// Packed rotated-splat layout (tpu_backend._bucket_blocks_2d_packed): the
+// numpy formulation materializes ~10 E-length int64 arrays plus a stable
+// argsort — on this class of 1-core host that costs minutes at 5M points,
+// nearly all of it first-touch page faults and radix passes. These two
+// fused passes never materialize the expansion: counts go straight into
+// the (nbc, 4) histogram, and placement iterates points in order (which IS
+// the stable sort order: copies ascend by point index within every fine
+// bucket, and each copy's (row-block, quarter) pairs are emitted row-major
+// exactly like the numpy o // kq / o % kq decomposition).
+// ---------------------------------------------------------------------------
+
+static inline void rotp_ranges(float rlo, float rhi, float wlo, float whi,
+                               int32_t th, int64_t* r0, int64_t* r1,
+                               int64_t* q0, int64_t* q1)
+{
+    // inputs are integral, >= 0 floats (host-clipped windows; dead points
+    // carry wlo=1 > whi=0), so (int64) truncation matches numpy's floor
+    *r0 = (int64_t)rlo / th;
+    *r1 = (int64_t)rhi / th;
+    if (*r1 < *r0) *r1 = *r0;
+    *q0 = (int64_t)wlo / 32;
+    *q1 = (int64_t)whi / 32;
+    if (*q1 < *q0) *q1 = *q0;
+}
+
+void pcr_rotp_counts(const float* rlo, const float* rhi,
+                     const float* wlo, const float* whi,
+                     int64_t n, int32_t th, int32_t ncb, int32_t nbc,
+                     int32_t* cf /* nbc*4, zeroed here */)
+{
+    std::memset(cf, 0, (size_t)nbc * 4 * sizeof(int32_t));
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t r0, r1, q0, q1;
+        rotp_ranges(rlo[i], rhi[i], wlo[i], whi[i], th, &r0, &r1, &q0, &q1);
+        for (int64_t rb = r0; rb <= r1; ++rb) {
+            int32_t* row = cf + (rb * ncb) * 4;
+            for (int64_t q = q0; q <= q1; ++q)
+                row[(q >> 2) * 4 + (q & 3)]++;
+        }
+    }
+}
+
+void pcr_rotp_place(const float* rlo, const float* rhi,
+                    const float* wlo, const float* whi,
+                    int64_t n, int32_t th, int32_t ncb, int32_t nbc,
+                    const int64_t* base_b /* nbc entry offsets */,
+                    int32_t* counters /* nbc*4 scratch, zeroed here */,
+                    int32_t G, int32_t block,
+                    int64_t* slots, int64_t E /* prefilled here to -1 */)
+{
+    std::memset(counters, 0, (size_t)nbc * 4 * sizeof(int32_t));
+    std::memset(slots, 0xFF, (size_t)E * sizeof(int64_t));   // -1
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t r0, r1, q0, q1;
+        rotp_ranges(rlo[i], rhi[i], wlo[i], whi[i], th, &r0, &r1, &q0, &q1);
+        for (int64_t rb = r0; rb <= r1; ++rb) {
+            for (int64_t q = q0; q <= q1; ++q) {
+                const int64_t b = rb * ncb + (q >> 2);
+                const int32_t slot = (int32_t)(q & 3);
+                const int32_t rank = counters[b * 4 + slot]++;
+                slots[base_b[b] + (int64_t)(rank / G) * block
+                      + (int64_t)slot * G + rank % G] = i;
+            }
+        }
+    }
+}
+
 } // extern "C"

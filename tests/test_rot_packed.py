@@ -72,6 +72,47 @@ def test_rot_packed_staged_oracle_parity(name, kw, rtype):
     assert d / denom < 1e-4
 
 
+def test_rotp_native_layout_matches_numpy(monkeypatch):
+    """The fused native two-pass layout (rotp_counts + rotp_place) must
+    reproduce the numpy stable-argsort layout bit-for-bit — same packed
+    buffer, nsub, and E (native/router.cpp pcr_rotp_place)."""
+    from pcr_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    from pcr_tpu.engine.tpu_backend import TpuEngine
+    from pcr_tpu.ops.reduction import get_reduction_info
+
+    gc = make_grid_config(w=200.0, h=136.0)
+    spec = pcr.gaussian_splat_spec("value", default_sigma_x=3.0,
+                                   default_sigma_y=1.2,
+                                   default_rotation=0.7)
+    plans = [(spec, get_reduction_info(spec.type))]
+    eng = TpuEngine(gc, plans)
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    icx = rng.integers(-4, 204, n)
+    icy = rng.integers(-4, 140, n)
+    r = rng.integers(0, 9, n)
+    valid = rng.random(n) > 0.1
+    W1, H1 = gc.width - 1, gc.height - 1
+    wlo = np.where(valid, np.maximum(icx - r, 0), 1).astype(np.float32)
+    whi = np.where(valid, np.minimum(icx + r, W1), 0).astype(np.float32)
+    rlo = np.where(valid, np.clip(icy - r, 0, H1), 0).astype(np.float32)
+    rhi = np.where(valid, np.clip(icy + r, 0, H1), 0).astype(np.float32)
+    segs = [(rng.random(n).astype(np.float32), 0.0) for _ in range(3)]
+
+    from pcr_tpu.engine.pallas_kernels import padded_width
+    ncb = padded_width(gc.width) // 128
+    got = eng._bucket_blocks_2d_packed(rlo, rhi, wlo, whi, ncb, 256,
+                                       segs, 16)
+    monkeypatch.setattr(native, "available", lambda: False)
+    want = eng._bucket_blocks_2d_packed(rlo, rhi, wlo, whi, ncb, 256,
+                                        segs, 16)
+    assert got[1] == want[1] and got[2] == want[2]
+    assert np.array_equal(got[0], want[0])
+
+
 def test_rot_packed_multitile_clip():
     """Multi-tile grids keep the reference's home-tile glyph clip
     (window bounds are host-folded into [wlo,whi]x[rlo,rhi])."""

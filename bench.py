@@ -98,6 +98,28 @@ def wait_for_device(max_wait_s=None):
         time.sleep(30)
 
 
+_FRUITLESS_RETRIES = 0
+
+
+def measure_with_retry(measure, n_pts, baseline):
+    """One healthy-probed retry for a row landing below its baseline: a
+    degraded link window poisons every repeat of a row at once (fetch
+    stalls of 100 ms+), so re-probe health and give the row one more
+    window — the record should measure the framework, not an outage.
+    Rows that are structurally below baseline (wire-floor-bound on this
+    link) retry fruitlessly; after two retries that fail to improve the
+    number, stop retrying for the rest of the run."""
+    global _FRUITLESS_RETRIES
+    best = measure()
+    if n_pts / best / 1e6 < baseline and _FRUITLESS_RETRIES < 2:
+        wait_for_device(max_wait_s=300)
+        again = measure()
+        if again > best * 0.9:      # retry didn't move it: not an outage
+            _FRUITLESS_RETRIES += 1
+        best = min(best, again)
+    return best
+
+
 def main():
     wait_for_device()
     import pcr_tpu as pcr
@@ -145,14 +167,7 @@ def main():
                 pipe.finalize()
                 b = min(b, time.perf_counter() - t0)
             return b
-        best = measure()
-        if N / best / 1e6 < BASELINES[name]:
-            # a degraded link window poisons every repeat of a row at
-            # once (fetch stalls of 100ms+); re-probe health and give a
-            # below-bar row one more window so the record measures the
-            # framework, not the outage
-            wait_for_device(max_wait_s=300)
-            best = min(best, measure())
+        best = measure_with_retry(measure, N, BASELINES[name])
         mpts = N / best / 1e6
         if not host_sourced:
             # pure device-accumulate throughput, amortized over K ingests
@@ -226,11 +241,7 @@ def main():
                 pipe.finalize()
                 b = min(b, time.perf_counter() - t0)
             return b
-        best = measure()
-        if n / best / 1e6 < BASELINES[name]:
-            # see run(): give a below-bar row one healthy-probed retry
-            wait_for_device(max_wait_s=300)
-            best = min(best, measure())
+        best = measure_with_retry(measure, n, BASELINES[name])
         mpts = n / best / 1e6
         print(f"# {name:16s} best {best:7.3f}s  {mpts:8.2f} Mpts/s  "
               f"(baseline {BASELINES[name]:6.2f}, "

@@ -859,10 +859,13 @@ class TpuEngine:
     def _put(self, buf: np.ndarray, arena: str | None = None):
         import jax
         y = jax.device_put(buf, self.device)
-        if arena is not None:
+        if (arena is not None and arena in self._arena_bufs
+                and np.may_share_memory(buf, self._arena_bufs[arena])):
             # the host buffer is arena-backed: remember the device array
             # so the next checkout can block until the transfer finished
-            # before the buffer is overwritten
+            # before the buffer is overwritten (buffers that came from a
+            # fresh allocation — CPU backend or numpy fallback — must NOT
+            # register: pending would pin an unrelated device array)
             self._arena_pending[arena] = y
         return y
 
@@ -1704,24 +1707,26 @@ class TpuEngine:
             start = end
         return staged
 
-    def _prepare_gaussian_rotp(self, spec_idx, gp, valid, r, values, info):
-        """Stage rotated (or any dense-routed) Gaussians through the
-        quarter-slot lane-packed splat (build_rot_packed_pallas): the
-        completed-square coefficients of the old 'rot' kernel plus
-        host-clipped per-point window bounds [wlo, whi] x [rlo, rhi]
-        (grid + home-tile clips folded in, so the kernel needs no tile
-        branches).  Same algebra and 1e-6 product cutoff as
-        glyph_kernels.cu:145-176."""
-        from .pallas_kernels import padded_width
-        n = len(values)
-        TH = ROTP_ROW_BLOCK
-        block = min(PALLAS_BLOCK, 2048)
-        ncb = padded_width(self.W) // 128
-        rtype = ReductionType(info.type)
-        f0 = (np.ones(n, np.float32)
-              if rtype == ReductionType.Count else
-              np.asarray(values, np.float32))
-        # completed-square fold (see the rot branch below for the algebra)
+    @staticmethod
+    def _rot_quadratic_segs(gp, f0):
+        """Completed-square coefficients of the rotated-Gaussian
+        quadratic form, shared bit-for-bit by the packed (rotp) and
+        dense (rot2) splat stagings — their cross-kernel parity contract
+        requires identical coefficient bits, so both build from this one
+        fold. Same algebra as glyph_kernels.cu:145-176 (qx=(dx*cos
+        - dy*sin)/sx, qy=(dx*sin + dy*cos)/sy): with c1=cos/sx,
+        c2=-sin/sx, c3=sin/sy, c4=cos/sy (each carrying a 1/sqrt(2) fold
+        so q2 IS the exponent),
+
+            q2 = A dx^2 + 2B dx dy + C dy^2
+               = (sqrt(A - B^2/C) dx)^2 + (sqrt(C) (dy + (B/C) dx))^2
+
+        which splits per kernel axis: the dx half is lane-only.
+        sqrt(log2 e) rides the square-root coefficients so the kernel
+        evaluates exp2(-q2') directly (saves the exp lowering's internal
+        x*log2e per cell); the kernels scale their cutoff constant to
+        ln(1e6)*log2e to match. Returns the first six seg arrays
+        [-ctr_x, -ctr_y, B/C, sqrt(C)*s, sqrt(A-B^2/C)*s, f0]."""
         inv_sx = np.float32(0.7071067811865476) / gp.sx
         inv_sy = np.float32(0.7071067811865476) / gp.sy
         c1 = gp.cos_rot * inv_sx
@@ -1732,6 +1737,31 @@ class TpuEngine:
         B = c1 * c2 + c3 * c4
         C = c2 * c2 + c4 * c4
         s_l2e = np.float32(1.2011224087864498)
+        return [-(gp.icx.astype(np.float32) + gp.sub_cx),
+                -(gp.icy.astype(np.float32) + gp.sub_cy),
+                B / C,
+                np.sqrt(C) * s_l2e,
+                np.sqrt(np.maximum(A - B * B / C, 0.0)) * s_l2e,
+                f0]
+
+    def _prepare_gaussian_rotp(self, spec_idx, gp, valid, r, values, info):
+        """Stage rotated (or any dense-routed) Gaussians through the
+        quarter-slot lane-packed splat (build_rot_packed_pallas): the
+        completed-square coefficients of the old 'rot' kernel plus
+        host-clipped per-point window bounds [wlo, whi] x [rlo, rhi]
+        (grid + home-tile clips folded in, so the kernel needs no tile
+        branches).  Same algebra and 1e-6 product cutoff as
+        glyph_kernels.cu:145-176 (see _rot_quadratic_segs)."""
+        from .pallas_kernels import padded_width
+        n = len(values)
+        TH = ROTP_ROW_BLOCK
+        block = min(PALLAS_BLOCK, 2048)
+        ncb = padded_width(self.W) // 128
+        rtype = ReductionType(info.type)
+        f0 = (np.ones(n, np.float32)
+              if rtype == ReductionType.Count else
+              np.asarray(values, np.float32))
+        quad = self._rot_quadratic_segs(gp, f0)
         icx = gp.icx.astype(np.int64)
         icy = gp.icy.astype(np.int64)
         rr = r.astype(np.int64)
@@ -1753,12 +1783,8 @@ class TpuEngine:
         whi = np.where(valid, whi, 0).astype(np.float32)
         rlo = np.where(valid, rlo, 0).astype(np.float32)
         rhi = np.where(valid, rhi, 0).astype(np.float32)
-        segs = [(-(gp.icx.astype(np.float32) + gp.sub_cx), 0.0),
-                (-(gp.icy.astype(np.float32) + gp.sub_cy), 0.0),
-                (B / C, 0.0),
-                (np.sqrt(C) * s_l2e, 1.0),
-                (np.sqrt(np.maximum(A - B * B / C, 0.0)) * s_l2e, 0.0),
-                (f0, 0.0),
+        segs = [(quad[0], 0.0), (quad[1], 0.0), (quad[2], 0.0),
+                (quad[3], 1.0), (quad[4], 0.0), (quad[5], 0.0),
                 (wlo, 1.0), (whi, 0.0), (rlo, 0.0), (rhi, 0.0)]
         buf, nsub, E = self._bucket_blocks_2d_packed(
             rlo, rhi, wlo, whi, ncb, block, segs, TH)
@@ -1838,36 +1864,13 @@ class TpuEngine:
             cb1 = np.where(valid, np.clip((icx + r) // WT, 0, ncb - 1), 0)
             f0 = (np.ones(n, np.float32)
                   if rtype == ReductionType.Count else values)
-            # fold rotation+sigma into the completed square of the
-            # quadratic form (same algebra as glyph_kernels.cu:145-176:
-            # qx=(dx*cos-dy*sin)/sx, qy=(dx*sin+dy*cos)/sy): with
-            # c1=cos/sx, c2=-sin/sx, c3=sin/sy, c4=cos/sy (each carrying
-            # a 1/sqrt(2) fold so q2 IS the exponent),
-            #   q2 = A dx^2 + 2B dx dy + C dy^2
-            #      = (sA2*dx)^2 + (sC*(dy + s*dx))^2
-            # which splits per kernel axis: the dx half is lane-only.
-            inv_sx = np.float32(0.7071067811865476) / gp.sx
-            inv_sy = np.float32(0.7071067811865476) / gp.sy
-            c1 = gp.cos_rot * inv_sx
-            c2 = -gp.sin_rot * inv_sx
-            c3 = gp.sin_rot * inv_sy
-            c4 = gp.cos_rot * inv_sy
-            A = c1 * c1 + c3 * c3
-            B = c1 * c2 + c3 * c4
-            C = c2 * c2 + c4 * c4
+            # completed-square fold shared with the packed rotp staging
+            # (bit-identical coefficients; see _rot_quadratic_segs)
+            quad = self._rot_quadratic_segs(gp, f0)
             icx_f = gp.icx.astype(np.float32)
             icy_f = gp.icy.astype(np.float32)
-            # sqrt(log2 e) rides the square-root coefficients so the
-            # kernel evaluates exp2(-q2') directly (saves the exp
-            # lowering's internal x*log2e per cell); the cutoff constant
-            # scales to ln(1e6)*log2e in the kernel to match.
-            s_l2e = np.float32(1.2011224087864498)
-            segs = [(-(icx_f + gp.sub_cx), 0.0),
-                    (-(icy_f + gp.sub_cy), 0.0),
-                    (B / C, 0.0),
-                    (np.sqrt(C) * s_l2e, 0.0),
-                    (np.sqrt(np.maximum(A - B * B / C, 0.0)) * s_l2e, 0.0),
-                    (f0, 0.0),
+            segs = [(quad[0], 0.0), (quad[1], 0.0), (quad[2], 0.0),
+                    (quad[3], 0.0), (quad[4], 0.0), (quad[5], 0.0),
                     (icx_f, 0.0), (icy_f, 0.0),
                     (r.astype(np.float32), -1.0)]
             buf, nsub, E = self._bucket_blocks_2d(rb0, rb1, cb0, cb1, ncb,
@@ -1898,11 +1901,7 @@ class TpuEngine:
                     end - start))
             return staged
 
-        TH = GAUSS_ROW_BLOCK
-        nblocks = self.H_pad // TH
         icy = gp.icy.astype(np.int64)
-        blk0 = np.where(valid, np.clip((icy - r) // TH, 0, nblocks - 1), 0)
-        blk1 = np.where(valid, np.clip((icy + r) // TH, 0, nblocks - 1), 0)
         rtype = ReductionType(info.type)
         f0 = (np.ones(n, np.float32)
               if rtype == ReductionType.Count else values)
@@ -1935,6 +1934,10 @@ class TpuEngine:
                                            False, len(segs), E, two_d=True,
                                            wt=WT, corr_offsets=corr)
             return [StagedChunk(key, self._put(buf), builder, n)]
+        TH = GAUSS_ROW_BLOCK
+        nblocks = self.H_pad // TH
+        blk0 = np.where(valid, np.clip((icy - r) // TH, 0, nblocks - 1), 0)
+        blk1 = np.where(valid, np.clip((icy + r) // TH, 0, nblocks - 1), 0)
         buf, nsub, E = self._bucket_rowblocks(blk0, blk1, block, segs)
         key = ("gauss_sorted", spec_idx, nsub, block, TH)
         builder = (lambda info=info, nsub=nsub, block=block, TH=TH:

@@ -95,6 +95,24 @@ def test_gaussian_rotated_matches_cpu():
     assert_bands_match(got, want, 1, atol=2e-5)
 
 
+def test_gaussian_rotated_pallas_interpret_matches_cpu(monkeypatch):
+    """The packed rotated splat (pallas_rotp) on a mesh: on CPU devices
+    the pallas mode resolves to 'off', which skips the production rotp
+    staging route entirely — force interpret mode so the mesh planner
+    facade runs _prepare_gaussian_rotp (arena-free checkout, nsub-floor
+    convergence across cells via _NSUB_POS['pallas_rotp'])."""
+    monkeypatch.setenv("PCR_PALLAS", "interpret")
+    gc = make_grid_config()
+    spec = pcr.gaussian_splat_spec("v", default_sigma_x=2.0,
+                                   default_sigma_y=0.8,
+                                   default_rotation=0.6,
+                                   max_radius_cells=7.0)
+    clouds = [make_cloud(1500, seed=3)]
+    want = run_pipeline(cpu_config(gc, [spec]), clouds)
+    got = run_pipeline(mesh_config(gc, [spec]), clouds)
+    assert_bands_match(got, want, 1, atol=2e-5)
+
+
 def test_line_glyph_matches_cpu():
     gc = make_grid_config()
     spec = pcr.line_splat_spec("v", direction_channel="d",

@@ -98,25 +98,53 @@ def wait_for_device(max_wait_s=None):
         time.sleep(30)
 
 
+# Healthy-window reference points from the committed record
+# (benchmark_results/bench.json / BENCH_r03.json): a row landing well
+# below ITS OWN healthy value indicates a degraded-link window, not a
+# framework change. Keying retries off these (rather than the reference
+# baselines) stops structurally-below-baseline rows (point_host is
+# wire-bound at ~6 on this link; line walls are link-floor-bound) from
+# burning the retry budget on every run.
+EXPECTED = {
+    "point_device": 98.0, "point_device_1m": 28.0,
+    "point_device_10m": 142.0, "point_device_25m": 203.0,
+    "point_host": 6.0, "point_1k_device": 26.0,
+    "gauss_s1": 24.0, "gauss_s4": 23.0, "gauss_s16": 18.5,
+    "gauss_rot_s4": 22.0,
+    "line_hl1": 26.0, "line_hl4": 25.5, "line_hl16": 27.0,
+}
+
 _FRUITLESS_RETRIES = 0
+# Run-wide wall-clock pool for degraded-window waits: if the link stays
+# degraded across the whole run, retries stop once the pool drains rather
+# than multiplying every row's wall by the per-retry wait.
+_RETRY_POOL_S = float(os.environ.get("PCR_BENCH_RETRY_BUDGET", 1800))
 
 
-def measure_with_retry(measure, n_pts, baseline):
-    """One healthy-probed retry for a row landing below its baseline: a
-    degraded link window poisons every repeat of a row at once (fetch
-    stalls of 100 ms+), so re-probe health and give the row one more
-    window — the record should measure the framework, not an outage.
-    Rows that are structurally below baseline (wire-floor-bound on this
-    link) retry fruitlessly; after two retries that fail to improve the
-    number, stop retrying for the rest of the run."""
-    global _FRUITLESS_RETRIES
+def measure_with_retry(measure, n_pts, name):
+    """Healthy-probed retries for a row landing well below its own
+    committed healthy-window value: a degraded link window poisons every
+    repeat of a row at once (fetch stalls of 100 ms+), so re-probe link
+    health and give the row more windows — the record should measure the
+    framework, not an outage. A retry that fails to improve the number
+    after the probe reported healthy counts as fruitless; after two
+    fruitless retries, stop retrying for the rest of the run (the gap is
+    then evidence of a framework change, which SHOULD be recorded)."""
+    global _FRUITLESS_RETRIES, _RETRY_POOL_S
     best = measure()
-    if n_pts / best / 1e6 < baseline and _FRUITLESS_RETRIES < 2:
-        wait_for_device(max_wait_s=300)
+    expected = EXPECTED.get(name)
+    attempts = 0
+    while (expected is not None and attempts < 3
+           and _FRUITLESS_RETRIES < 2 and _RETRY_POOL_S > 0
+           and n_pts / best / 1e6 < 0.75 * expected):
+        t0 = time.monotonic()
+        healthy = wait_for_device(max_wait_s=min(600, _RETRY_POOL_S))
         again = measure()
-        if again > best * 0.9:      # retry didn't move it: not an outage
+        _RETRY_POOL_S -= time.monotonic() - t0
+        if healthy and again > best * 0.9:  # healthy probe, same number
             _FRUITLESS_RETRIES += 1
         best = min(best, again)
+        attempts += 1
     return best
 
 
@@ -167,7 +195,7 @@ def main():
                 pipe.finalize()
                 b = min(b, time.perf_counter() - t0)
             return b
-        best = measure_with_retry(measure, N, BASELINES[name])
+        best = measure_with_retry(measure, N, name)
         mpts = N / best / 1e6
         if not host_sourced:
             # pure device-accumulate throughput, amortized over K ingests
@@ -241,7 +269,7 @@ def main():
                 pipe.finalize()
                 b = min(b, time.perf_counter() - t0)
             return b
-        best = measure_with_retry(measure, n, BASELINES[name])
+        best = measure_with_retry(measure, n, name)
         mpts = n / best / 1e6
         print(f"# {name:16s} best {best:7.3f}s  {mpts:8.2f} Mpts/s  "
               f"(baseline {BASELINES[name]:6.2f}, "

@@ -322,11 +322,14 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
     corr_offsets (gauss mode, uniform small sigma): static (dxo, dyo)
     window offsets where the separable factorization can deposit weights
     the reference's PRODUCT cutoff (w < 1e-6) would drop. For each, the
-    kernel runs an exact-cancellation one-hot pass: the subtracted
-    amplitude is the SAME factor product the main matmul added (same
-    exp bits, negated operand, same contraction shapes and therefore the
-    same accumulation order), so a cell receiving only below-cutoff
-    contributions nets EXACTLY +0.0 — preserving the empty-cell NaN
+    kernel stacks an exact-cancellation one-hot row pair onto the main
+    contraction (along the contraction dim, so each column tile still
+    issues ONE dot): the subtracted amplitude is the SAME factor product
+    the main rows add (same exp bits, negated operand — limbs of -x are
+    exactly -limbs of x through the HIGHEST lowering), so a cell
+    receiving only below-cutoff contributions sees +bad and -bad with
+    only exact zeros between them in one accumulator and nets EXACTLY
+    +0.0 in any reduction order — preserving the empty-cell NaN
     footprint bit-for-bit (tpu_backend.gauss_corr_offsets picks the
     offsets; routing falls back to the dense kernel when the set is
     large).
@@ -610,6 +613,44 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 b1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
                 return dot(b0) + dot(b1) + dot(r1 - b1)
 
+        # exact-cancellation product-cutoff correction factors (see
+        # builder docstring): per static offset, a one-hot row/col pair
+        # that subtracts the below-cutoff contribution with the SAME
+        # factor bits the main contraction adds. wxc/wyc reproduce wx/wy
+        # at the corner bit-for-bit: (ws - icx) is exact in f32 for
+        # grid-sized ints, so (dxo - sub_cx) sees the same operand bits,
+        # and negation/zero-padding are exact through the HIGHEST
+        # contraction. Everything except gx (which needs the column
+        # tile's ws_i) is offset-static, so it is built once here rather
+        # than per column tile.
+        corr_pre = []
+        if mode == "gauss" and corr_offsets:
+            half = jnp.float32(-0.5)
+            for dxo, dyo in corr_offsets:
+                qxc = (jnp.float32(dxo) - sub_cx) / sx
+                wxc = jnp.exp(half * qxc * qxc)
+                qyc = (jnp.float32(dyo) - sub_cy) / sy
+                wyc = jnp.exp(half * qyc * qyc)
+                cr = icy_c + dyo
+                cc = icx_c + dxo
+                live = ((wxc * wyc < 1e-6)
+                        & (wxc >= 1e-6) & (wyc >= 1e-6)
+                        & (abs(dxo) <= rr) & (abs(dyo) <= rr)
+                        & (cr >= 0) & (cr < H)
+                        & (cc >= 0) & (cc < W))
+                if multi_tile:
+                    # match the main factors' home-tile clip
+                    colc = jnp.clip(icx_c, 0, W - 1)
+                    cs_t = (colc // tw) * tw
+                    rowc = jnp.clip(icy_c, 0, H - 1)
+                    rs_t = (rowc // th_tile) * th_tile
+                    live &= ((cc >= cs_t)
+                             & (cc < jnp.minimum(cs_t + tw, W))
+                             & (cr >= rs_t)
+                             & (cr < jnp.minimum(rs_t + th_tile, H)))
+                gy = jnp.where(hs_i == cr, wyc, 0.0)
+                corr_pre.append((gy, wxc, cc, live))
+
         # initialise the VMEM accumulators on the first sub-chunk of a run
         @pl.when(first)
         def _():
@@ -642,6 +683,17 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                     wx = jnp.where(mx, wx, 0.0)
 
                 sl = pl.ds(wt * WT, WT)
+                # corr rows ride the MAIN contraction, stacked along the
+                # contraction dim: the kernel is dot-DISPATCH-bound (see
+                # below), so a separate corr dot per offset cost as much
+                # as the main dot itself. A cell whose only deposits are
+                # a below-cutoff contribution and its correction sees
+                # +bad and -bad built from identical limb bits inside ONE
+                # accumulator with only exact zeros between them, so it
+                # still nets EXACTLY +0.0 in any reduction order — the
+                # empty-cell NaN footprint is preserved bit-for-bit.
+                gxs = [jnp.where((ws_i == cc) & live, wxc, 0.0)
+                       for (_, wxc, cc, live) in corr_pre]
                 if mode == "gauss" and nf == 2:
                     # One (block, 2*WT) dot instead of two: the kernel is
                     # dot-DISPATCH-bound, not MXU-pass-bound (the 4-pass
@@ -652,11 +704,24 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                     # contraction over the same operand column in the same
                     # order, and the f0 / weight halves occupy the same
                     # column positions as before.
+                    a = jnp.concatenate(
+                        [wy] + [g[0] for g in corr_pre], axis=0)
                     b2 = jnp.concatenate(
-                        [wx * f0, wx * f1 if with_f1 else wx], axis=1)
-                    R = acc_dot(wy, b2)
+                        [jnp.concatenate(
+                            [wx * f0, wx * f1 if with_f1 else wx], axis=1)]
+                        + [jnp.concatenate(
+                            [gx * (-f0),
+                             gx * (-f1) if with_f1 else -gx], axis=1)
+                           for gx in gxs], axis=0)
+                    R = acc_dot(a, b2)
                     out_refs[0][:, sl] += R[:, :WT]
                     out_refs[1][:, sl] += R[:, WT:]
+                elif mode == "gauss" and corr_pre:
+                    a = jnp.concatenate(
+                        [wy] + [g[0] for g in corr_pre], axis=0)
+                    bv = jnp.concatenate(
+                        [wx * f0] + [gx * (-f0) for gx in gxs], axis=0)
+                    out_refs[0][:, sl] += acc_dot(a, bv)
                 else:
                     out_refs[0][:, sl] += acc_dot(wy, wx * f0)
                     if nf == 2:
@@ -665,55 +730,6 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                         else:
                             out_refs[1][:, sl] += acc_dot(wy, wx,
                                                           exact_b=True)
-
-                if mode == "gauss" and corr_offsets:
-                    # exact-cancellation product-cutoff correction (see
-                    # builder docstring): per static offset, subtract the
-                    # below-cutoff contribution with the SAME factor bits
-                    # the main dots just added. wxc/wyc reproduce wx/wy at
-                    # the corner bit-for-bit: (ws - icx) is exact in f32
-                    # for grid-sized ints, so (dxo - sub_cx) sees the same
-                    # operand bits, and negation/zero-padding are exact
-                    # through the HIGHEST contraction.
-                    half = jnp.float32(-0.5)
-                    for dxo, dyo in corr_offsets:
-                        qxc = (jnp.float32(dxo) - sub_cx) / sx
-                        wxc = jnp.exp(half * qxc * qxc)
-                        qyc = (jnp.float32(dyo) - sub_cy) / sy
-                        wyc = jnp.exp(half * qyc * qyc)
-                        cr = icy_c + dyo
-                        cc = icx_c + dxo
-                        live = ((wxc * wyc < 1e-6)
-                                & (wxc >= 1e-6) & (wyc >= 1e-6)
-                                & (abs(dxo) <= rr) & (abs(dyo) <= rr)
-                                & (cr >= 0) & (cr < H)
-                                & (cc >= 0) & (cc < W))
-                        if multi_tile:
-                            # match the main factors' home-tile clip
-                            colc = jnp.clip(icx_c, 0, W - 1)
-                            cs_t = (colc // tw) * tw
-                            rowc = jnp.clip(icy_c, 0, H - 1)
-                            rs_t = (rowc // th_tile) * th_tile
-                            live &= ((cc >= cs_t)
-                                     & (cc < jnp.minimum(cs_t + tw, W))
-                                     & (cr >= rs_t)
-                                     & (cr < jnp.minimum(rs_t + th_tile,
-                                                         H)))
-                        gy = jnp.where(hs_i == cr, wyc, 0.0)
-                        gx = jnp.where((ws_i == cc) & live, wxc, 0.0)
-                        if nf == 2:
-                            # same merged-dot shape and column positions
-                            # as the main contraction above, so each
-                            # corr column's sum reproduces the main
-                            # column's sum bit-for-bit (exact
-                            # cancellation still nets +0.0)
-                            gb2 = jnp.concatenate([gx * (-f0), -gx],
-                                                  axis=1)
-                            Rg = acc_dot(gy, gb2)
-                            out_refs[0][:, sl] += Rg[:, :WT]
-                            out_refs[1][:, sl] += Rg[:, WT:]
-                        else:
-                            out_refs[0][:, sl] += acc_dot(gy, gx * (-f0))
 
     state_shape = jax.ShapeDtypeStruct((H_pad, W_pad), np.float32)
     clamp = lambda b: jnp.minimum(b, nb_total - 1)

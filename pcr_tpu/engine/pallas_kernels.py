@@ -161,11 +161,11 @@ def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
                         ReductionType.Average) else 1
     nseg = 10
     G = block // 4
-    # Group-batch width: 16 beats 512 by ~4% (68.2 vs 65.3 Mpts/s
-    # accumulate at 5M, best-of-6; benchmark_results/rotp_tuning3.json +
+    # Group-batch width: 8 beats 16 by ~5% and 16 beats 512 by ~4%
+    # (67.1 vs 63.9 vs 65.3 Mpts/s accumulate; rotp_tuning3/4/5.json +
     # rotp_head2head) — small batches keep the (GU, TH, 128) working set
     # VMEM-resident across the exp2.
-    GU = int(os.environ.get("PCR_ROTP_GU", 16))
+    GU = int(os.environ.get("PCR_ROTP_GU", 8))
     assert block % 4 == 0 and G % GU == 0
     H_pad = h_pad if h_pad else round_up(H, TH)
     assert H_pad % TH == 0
@@ -235,10 +235,16 @@ def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
             scr_gq[:] = jnp.where(colm, -(u * u), -INF)
             scr_m[:] = (dx * s_ + yoff) * sC
             scr_sc[:] = sC
-            # row-box compares ride pre-scaled bounds (sC > 0; products
-            # of distinct grid-sized ints by sC can't collide in f32)
-            scr_rlo[:] = rlo * sC
-            scr_rhi[:] = rhi * sC
+            # Row-box compares ride the RAW integer bounds against the
+            # row iota (hs, rlo, rhi are grid-sized ints, exact in f32).
+            # Probed and rejected: pre-scaled bounds vs hs*sc (identical
+            # speed, rotp_tuning5.json), and a single unsigned range
+            # compare bitcast_u32(hs - rlo) < rng (Mosaic lowers the
+            # i32/u32 mix ~27x slower, rotp_tuning6.json); the 2-compare
+            # chain measured at 27% of the kernel (STUB=norm,
+            # rotp_stubs.json) appears to be the f32-op floor.
+            scr_rlo[:] = rlo
+            scr_rhi[:] = rhi
             scr_f0[:] = f0
 
             hs = (jax.lax.broadcasted_iota(jnp.int32, (1, TH), 1)
@@ -251,13 +257,12 @@ def build_rot_packed_pallas(info: ReductionInfo, cfg: GridConfig,
                 ld = lambda r: r[pl.ds(g0, GU), :].reshape(GU, 1, WT)
                 gq, m, sc = ld(scr_gq), ld(scr_m), ld(scr_sc)
                 rl, rh, f0v = ld(scr_rlo), ld(scr_rhi), ld(scr_f0)
-                hsC = hs * sc                   # (GU, TH, WT)
-                v = hsC + m
+                v = hs * sc + m                 # (GU, TH, WT)
                 q2n = gq - v * v
                 if STUB == "norm":          # profiling: drop row-box mask
                     cond = q2n >= CUT
                 else:
-                    cond = (q2n >= CUT) & (hsC >= rl) & (hsC <= rh)
+                    cond = (q2n >= CUT) & (hs >= rl) & (hs <= rh)
                 if STUB == "noexp":         # profiling: skip the exp2
                     w = jnp.where(cond, q2n, 0.0)
                 else:

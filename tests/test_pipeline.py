@@ -259,6 +259,30 @@ class TestStateCheckpointResume:
         p2.finalize()
         assert p2.result().band_array(0)[0, 1] == 6.0   # fresh, not resumed
 
+    @pytest.mark.parametrize("order", ["cpu_then_tpu", "tpu_then_cpu"])
+    def test_resume_cross_engine(self, tmp_path, order):
+        """PCRT state written by one engine resumes in the other: the
+        on-disk tile-state format (io/tile_state_io.py) is the shared
+        checkpoint contract, exactly like the reference's TileManager
+        (tile_manager.cpp:272-302 loads whatever state files exist)."""
+        gc = make_grid_config(w=10.0, h=10.0)
+        sd = str(tmp_path / "state")
+        spec = [pcr.ReductionSpec(value_channel="v", type=RT.Average)]
+        modes = [pcr.ExecutionMode.CPU, pcr.ExecutionMode.GPU]
+        if order == "tpu_then_cpu":
+            modes.reverse()
+        p1 = pipeline(gc, list(spec), mode=modes[0], state_dir=sd)
+        p1.ingest(known_cloud())
+        p1.finalize()
+        p2 = pipeline(gc, list(spec), mode=modes[1], state_dir=sd)
+        p2.ingest(known_cloud())
+        p2.finalize()
+        # average of {2,4} twice is still 3; untouched cells stay NaN
+        band = p2.result().band_array(0)
+        assert band[0, 1] == 3.0
+        assert band[4, 5] == 10.0
+        assert np.isnan(band[0, 0])
+
 
 class TestHybridMode:
     def test_hybrid_matches_gpu_mode(self):

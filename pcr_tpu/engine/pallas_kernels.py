@@ -73,8 +73,13 @@ def gauss_col_tile(W: int, rmax: int) -> int:
     the narrow tile; the extra column-halo duplication only pays once the
     window approaches the tile width (measured on v5e at 5M points,
     accumulate: sigma=1 86.6 -> 110.2, sigma=4 79.9 -> 88.1 Mpts/s at 128
-    vs 256; sigma=16's 97-cell window stays on the wide tile)."""
-    if 2 * rmax + 1 <= int(os.environ.get("PCR_GAUSS_NARROW_MAX", 32)):
+    vs 256; re-measured after the merged f0/f1 dot landed, the narrow
+    tile now also wins for windows up to the tile itself: sigma=8
+    66.4 -> 70.9, sigma=16 58.7 -> 61.0 — so the default threshold covers
+    every window that fits two column halos; wider windows (w > 65, only
+    reachable with user max_radius > 32) stay on the wide tile,
+    unmeasured)."""
+    if 2 * rmax + 1 <= int(os.environ.get("PCR_GAUSS_NARROW_MAX", 65)):
         return min(128, col_tile(W))
     return col_tile(W)
 

@@ -243,11 +243,16 @@ class ChildRunner:
         self.rows = rows
         self.queue = []
         self.lock = threading.Lock()
+        env = dict(os.environ)
+        # The parent has just verified tunnel health; give the child's
+        # in-library device probe (default 30 s) more slack so a slow
+        # first contact can't demote a healthy run to CPU fallback.
+        env.setdefault("PCR_TPU_PROBE_TIMEOUT", "150")
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child"]
             + rows,
             stdout=subprocess.PIPE, stderr=None, text=True,
-            cwd=REPO)
+            cwd=REPO, env=env)
         self.reader = threading.Thread(target=self._read, daemon=True)
         self.reader.start()
 

@@ -402,10 +402,13 @@ def _tpu_devices():
     remote-TPU link (half-open tunnel) that creation can block forever
     inside the plugin's C API, which would freeze Pipeline.create instead
     of engaging the CPU fallback ladder (the analogue of
-    cuda_device_available, types.h:156-219, can never hang). The probe
-    runs in a daemon thread and gives up after PCR_TPU_PROBE_TIMEOUT
-    seconds (default 120 — first contact over a healthy tunnel plus
-    backend init is well under that); a timed-out probe reports "no
+    cuda_device_available, types.h:156-219, can never hang). Degraded
+    windows are worse: jax.devices() answers but synchronous fetches
+    stall for minutes, so the probe also does a tiny device round-trip
+    before declaring the accelerator usable. The probe runs in a daemon
+    thread and gives up after PCR_TPU_PROBE_TIMEOUT seconds (default 30
+    — first contact over a healthy tunnel, incl. backend init and a
+    1 KB round-trip, is well under that); a timed-out probe reports "no
     device" and is never retried in this process. The abandoned thread
     parks on the backend lock, which is safe in the fallback regime: the
     numpy CPU backend makes no further JAX calls."""
@@ -414,15 +417,25 @@ def _tpu_devices():
     import threading
 
     def probe():
+        if os.environ.get("PCR_TEST_PROBE_HANG") == "1":
+            # Test hook: simulate a wedged tunnel (thread never answers).
+            import time as _time
+            _time.sleep(3600)
         import jax
+        import numpy as _np
         try:
             devs = [d for d in jax.devices()
                     if d.platform not in ("cpu",)]
+            if devs:
+                # Functional round-trip: a degraded tunnel lists devices
+                # fine but stalls fetches; treat that as unavailable too.
+                buf = jax.device_put(_np.ones(256, _np.float32), devs[0])
+                _np.asarray(buf)
         except Exception:
             devs = []
         _TPU_PROBE["devices"] = devs
 
-    timeout = float(os.environ.get("PCR_TPU_PROBE_TIMEOUT", "120"))
+    timeout = float(os.environ.get("PCR_TPU_PROBE_TIMEOUT", "30"))
     t = threading.Thread(target=probe, daemon=True,
                          name="pcr-tpu-probe")
     t.start()

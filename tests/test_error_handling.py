@@ -18,6 +18,44 @@ class TestDeviceProbes:
         assert isinstance(pcr.tpu_device_name(), str)
 
 
+class TestWedgedTunnelProbe:
+    def test_hung_probe_times_out_and_falls_back(self, monkeypatch):
+        """A wedged tunnel must not freeze Pipeline.create: the device
+        probe is time-bounded (PCR_TPU_PROBE_TIMEOUT, default 30 s) and
+        a timeout takes the documented CPU fallback ladder (reference
+        ladder: pipeline.cpp:113-214). Simulates the hang via the
+        PCR_TEST_PROBE_HANG hook in the probe thread."""
+        import time
+
+        from pcr_tpu.core import types as core_types
+
+        saved = dict(core_types._TPU_PROBE)
+        monkeypatch.delenv("PCR_FORCE_JAX", raising=False)
+        monkeypatch.setenv("PCR_TEST_PROBE_HANG", "1")
+        monkeypatch.setenv("PCR_TPU_PROBE_TIMEOUT", "2")
+        core_types._TPU_PROBE["done"] = False
+        core_types._TPU_PROBE["devices"] = []
+        try:
+            gc = make_grid_config(w=10.0, h=10.0)
+            cfg = pcr.PipelineConfig()
+            cfg.grid = gc
+            cfg.reductions = [
+                pcr.ReductionSpec(value_channel="v", type=RT.Sum)]
+            cfg.exec_mode = pcr.ExecutionMode.GPU
+            cfg.gpu_fallback_to_cpu = True
+            t0 = time.monotonic()
+            with pytest.warns(UserWarning) as rec:
+                p = pcr.Pipeline.create(cfg)
+            elapsed = time.monotonic() - t0
+            assert elapsed < 15.0, f"create took {elapsed:.1f}s"
+            assert p._backend == "cpu"
+            msgs = [str(w.message) for w in rec]
+            assert any("did not answer" in m for m in msgs)
+            assert any("falling back" in m for m in msgs)
+        finally:
+            core_types._TPU_PROBE.update(saved)
+
+
 class TestFallbackLadder:
     def test_gpu_mode_without_device_falls_back(self, monkeypatch):
         monkeypatch.delenv("PCR_FORCE_JAX", raising=False)

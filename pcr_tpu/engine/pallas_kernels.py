@@ -375,6 +375,10 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
             + (1 if with_f1 else 0))
     multi_tile = cfg.total_tiles() > 1
     tw, th_tile = cfg.tile_width, cfg.tile_height
+    # Row-offset shard view (parallel.engine._LocalCfg): tile rows are
+    # computed in the GLOBAL frame and translated to the view's rows.
+    t_off = getattr(cfg, "row_offset", 0)
+    Hg = getattr(cfg, "global_height", H)
     ncb = W_pad // WT
     nwt = 1 if two_d else ncb
     # Mosaic's dot lowering supports DEFAULT and HIGHEST only; HIGHEST is
@@ -483,11 +487,13 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                 sdx_sC = (dx * gf(2) + gf(1)) * gf(3)
                 rlo, rhi = icy_f - r_f, icy_f + r_f
                 if multi_tile:
-                    rowc = jnp.clip(icy_f, 0.0, row_lim)
+                    off_f = jnp.float32(t_off)
+                    rowc = jnp.clip(icy_f + off_f, 0.0,
+                                    jnp.float32(Hg - 1))
                     rs = jnp.floor(rowc / th_tile) * th_tile
-                    rlo = jnp.maximum(rlo, rs)
+                    rlo = jnp.maximum(rlo, rs - off_f)
                     rhi = jnp.minimum(rhi, jnp.minimum(
-                        rs + th_tile - 1, row_lim))
+                        rs + th_tile - 1, jnp.float32(Hg - 1)) - off_f)
                 else:
                     rhi = jnp.minimum(rhi, row_lim)
                 # (TH, 1) row half: rows outside [rlo, rhi] poisoned to
@@ -561,9 +567,9 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
             wy = jnp.exp(-0.5 * qy * qy)
             my = (jnp.abs(hs_i - icy_c) <= r) & (wy >= 1e-6) & (hs_i < H)
             if multi_tile:
-                rowc = jnp.clip(icy_c, 0, H - 1)
-                rs = (rowc // th_tile) * th_tile
-                re = jnp.minimum(rs + th_tile, H)
+                rowc = jnp.clip(icy_c + t_off, 0, Hg - 1)
+                rs = (rowc // th_tile) * th_tile - t_off
+                re = jnp.minimum(rs + t_off + th_tile, Hg) - t_off
                 my &= (hs_i >= rs) & (hs_i < re)
             wy = jnp.where(my, wy, 0.0)
 
@@ -652,12 +658,13 @@ def build_sorted_splat_pallas(info: ReductionInfo, cfg: GridConfig,
                     # match the main factors' home-tile clip
                     colc = jnp.clip(icx_c, 0, W - 1)
                     cs_t = (colc // tw) * tw
-                    rowc = jnp.clip(icy_c, 0, H - 1)
-                    rs_t = (rowc // th_tile) * th_tile
+                    rowc = jnp.clip(icy_c + t_off, 0, Hg - 1)
+                    rs_t = (rowc // th_tile) * th_tile - t_off
                     live &= ((cc >= cs_t)
                              & (cc < jnp.minimum(cs_t + tw, W))
                              & (cr >= rs_t)
-                             & (cr < jnp.minimum(rs_t + th_tile, H)))
+                             & (cr < jnp.minimum(rs_t + t_off + th_tile,
+                                                 Hg) - t_off))
                 gy = jnp.where(hs_i == cr, wyc, 0.0)
                 corr_pre.append((gy, wxc, cc, live))
 

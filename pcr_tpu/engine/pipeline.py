@@ -292,12 +292,21 @@ class Pipeline:
             if (self.config.mesh_devices is not None
                     or self.config.mesh_dp > 1 or self.config.mesh_sp > 1):
                 if self.config.gpu_memory_budget:
-                    warnings.warn(
-                        "pcr_tpu: gpu_memory_budget is not honored on a "
-                        "mesh (state is already 1/sp-sharded per chip); "
-                        "ignoring it")
+                    # The banded out-of-core executor's band frames are
+                    # whole-grid/tile aligned and incompatible with
+                    # per-shard row views; refusing loudly beats the old
+                    # warn-and-ignore (state IS already 1/shards-sharded
+                    # per chip, so raise mesh_sp / shard count instead).
+                    raise PcrError(Status.error(
+                        StatusCode.InvalidArgument,
+                        "pipeline: gpu_memory_budget is not supported "
+                        "together with a device mesh — the state is "
+                        "already sharded 1/N per chip; raise mesh_sp (or "
+                        "the device count) to shrink per-chip state, or "
+                        "drop the mesh to use banded out-of-core"))
                 from ..parallel.engine import (
-                    ShardedTpuEngine, resolve_mesh_devices)
+                    PartitionedTpuEngine, ShardedTpuEngine,
+                    resolve_mesh_devices)
                 devs = resolve_mesh_devices(self.config.mesh_devices)
                 dp = self.config.mesh_dp or None
                 sp = self.config.mesh_sp or None
@@ -305,8 +314,17 @@ class Pipeline:
                     n = ((dp or 1) * (sp or 1)
                          if (dp or sp) else len(jax.devices()))
                     devs = jax.devices()[:n] if (dp and sp) else jax.devices()
-                self._engine = ShardedTpuEngine(
-                    cfg, self._plans, devices=devs, dp=dp, sp=sp)
+                if cfg.total_tiles() > 1:
+                    # Multi-tile grids: per-shard home-tile clip offsets
+                    # are trace-time constants, so each device runs its
+                    # own single-chip program over its row shard (see
+                    # PartitionedTpuEngine docstring). All dp*sp devices
+                    # serve as row shards.
+                    self._engine = PartitionedTpuEngine(
+                        cfg, self._plans, devices=devs)
+                else:
+                    self._engine = ShardedTpuEngine(
+                        cfg, self._plans, devices=devs, dp=dp, sp=sp)
             else:
                 from .tpu_backend import TpuEngine
                 devs = jax.devices()

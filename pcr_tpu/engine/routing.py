@@ -33,13 +33,21 @@ __all__ = ["assign", "gaussian_params", "line_params", "home_tile_ranges",
 
 
 def home_tile_ranges(cfg: GridConfig, col: np.ndarray, row: np.ndarray):
-    """Per-point home-tile cell ranges (edge-clamped); end-exclusive."""
+    """Per-point home-tile cell ranges (edge-clamped); end-exclusive.
+
+    `cfg` may be a row-offset shard view (parallel.engine._LocalCfg):
+    tile rows are computed in the GLOBAL frame and returned in the
+    view's local rows (possibly outside [0, cfg.height) — callers clip
+    against the local grid, so out-of-shard tiles become empty)."""
+    off = getattr(cfg, "row_offset", 0)
+    Hg = getattr(cfg, "global_height", cfg.height)
     tcol = col // cfg.tile_width
-    trow = row // cfg.tile_height
+    trow = (row + off) // cfg.tile_height
     col_start = (tcol * cfg.tile_width).astype(np.int32)
-    row_start = (trow * cfg.tile_height).astype(np.int32)
+    row_start = (trow * cfg.tile_height - off).astype(np.int32)
     col_end = np.minimum(col_start + cfg.tile_width, cfg.width).astype(np.int32)
-    row_end = np.minimum(row_start + cfg.tile_height, cfg.height).astype(np.int32)
+    row_end = (np.minimum(trow * cfg.tile_height + cfg.tile_height, Hg)
+               - off).astype(np.int32)
     return col_start, row_start, col_end, row_end
 
 
@@ -219,6 +227,10 @@ def line_rects(lp: LineParams, cfg: GridConfig, valid: np.ndarray,
     if native.available():
         cs, rs, ce, re = home_tile_ranges(cfg, np.asarray(col, np.int64),
                                           np.asarray(row, np.int64))
+        # shard views can return tile rows outside the local grid —
+        # intersect with it (no-op for plain GridConfigs)
+        rs = np.clip(rs, 0, cfg.height).astype(np.int32)
+        re = np.clip(re, 0, cfg.height).astype(np.int32)
         ax, bx, ay, by, owner = native.line_runs(
             lp.ix0, lp.iy0, lp.ix1, lp.iy1, valid, cs, rs, ce, re)
         return LineRects(ax=ax, bx=bx, ay=ay, by=by,
@@ -273,6 +285,8 @@ def line_rects(lp: LineParams, cfg: GridConfig, valid: np.ndarray,
     # clip to the home tile (glyph footprints clip to the owner's tile)
     cs, rs, ce, re = home_tile_ranges(cfg, col[owner].astype(np.int64),
                                       row[owner].astype(np.int64))
+    rs = np.clip(rs, 0, cfg.height)
+    re = np.clip(re, 0, cfg.height)
     ax = np.maximum(ax, cs)
     bx = np.minimum(bx, ce - 1)
     ay = np.maximum(ay, rs)

@@ -322,16 +322,25 @@ def _glyph_nf(info: ReductionInfo):
 def _device_tile_clip(jnp, cfg: GridConfig, icx, icy):
     """Home-tile clip ranges derived on device from the (unclamped) center
     cell. The home tile is the tile of the *clamped* assigned cell
-    (tile_router semantics), so clamp first."""
-    W, H = cfg.width, cfg.height
+    (tile_router semantics), so clamp first.
+
+    `cfg` may be a row-offset shard view (parallel.engine._LocalCfg with
+    row_offset/global_height): tile rows are then computed in GLOBAL row
+    coordinates and the returned rs/re are translated back to the view's
+    local rows (possibly negative / beyond the local height — callers
+    mask against local row iotas, so out-of-shard ranges clip to
+    nothing)."""
+    W = cfg.width
+    off = getattr(cfg, "row_offset", 0)
+    Hg = getattr(cfg, "global_height", cfg.height)
     tw, th = cfg.tile_width, cfg.tile_height
     col = jnp.clip(icx, 0, W - 1)
-    row = jnp.clip(icy, 0, H - 1)
+    grow = jnp.clip(icy + off, 0, Hg - 1)
     cs = (col // tw) * tw
-    rs = (row // th) * th
+    rs = (grow // th) * th
     ce = jnp.minimum(cs + tw, W)
-    re = jnp.minimum(rs + th, H)
-    return cs, ce, rs, re
+    re = jnp.minimum(rs + th, Hg)
+    return cs, ce, rs - off, re - off
 
 
 def _build_sorted_matmul_update(info: ReductionInfo, cfg: GridConfig,
@@ -548,7 +557,12 @@ def _build_gaussian_rotated_update(info: ReductionInfo, cfg: GridConfig,
         r = seg(8)
         values = f32(9)
         if multi_tile:
+            # clamp tile rows to the local grid: a row-offset shard view
+            # can return negative rs, and a negative scatter row would
+            # WRAP (numpy index semantics) instead of dropping
             cs, ce, rs, re = _device_tile_clip(jnp, cfg, icx, icy)
+            rs = jnp.maximum(rs, 0)
+            re = jnp.minimum(re, H)
         else:
             cs, ce, rs, re = 0, W, 0, H
 
@@ -611,11 +625,15 @@ def _build_line_update(info: ReductionInfo, cfg: GridConfig, bucket: int,
         if multi_tile:
             col, row = seg(4), seg(5)
             k = 6
-            tw, th = cfg.tile_width, cfg.tile_height
-            cs = (col // tw) * tw
-            rs = (row // th) * th
-            ce = jnp.minimum(cs + tw, W)
-            re = jnp.minimum(rs + th, H)
+            # col/row are the clamped assigned cell (except under a
+            # row-offset shard view, where row is the local-shifted
+            # global cell — _device_tile_clip reconstructs the frame).
+            # Clamp the tile rows to the local grid: a shard view can
+            # return negative rs, and a negative walk cell would WRAP
+            # (numpy index semantics) instead of dropping.
+            cs, ce, rs, re = _device_tile_clip(jnp, cfg, col, row)
+            rs = jnp.maximum(rs, 0)
+            re = jnp.minimum(re, H)
         else:
             cs, ce, rs, re = 0, W, 0, H
         values = jax.lax.bitcast_convert_type(seg(k), jnp.float32)
@@ -744,10 +762,15 @@ class TpuEngine:
         ns_key = (
             cfg.width, cfg.height, cfg.tile_width, cfg.tile_height,
             float(cfg.cell_size_x), float(cfg.cell_size_y),
-            float(b.min_x), float(b.min_y), float(b.max_x), float(b.max_y),
+            (float(b.min_x), float(b.min_y),
+             float(b.max_x), float(b.max_y)) if b is not None else None,
             tuple((spec.glyph.type, info.type, info.state_floats)
                   for spec, info in plans),
             self.pallas, self.H_pad, self.W_state, self._point_pallas,
+            # row-offset shard views (parallel.engine._LocalCfg) bake the
+            # offset into tile-clip constants — distinct programs per shard
+            getattr(cfg, "row_offset", 0),
+            getattr(cfg, "global_height", cfg.height),
         )
         self._jits = _shared_jit_namespace(ns_key)
         # Lazy commit queue: staged chunks accumulate here and materialize
@@ -1772,12 +1795,15 @@ class TpuEngine:
         rhi = np.minimum(icy + rr, H1)
         if self.cfg.total_tiles() > 1:
             tw, th_t = self.cfg.tile_width, self.cfg.tile_height
+            off = getattr(self.cfg, "row_offset", 0)
+            Hg1 = getattr(self.cfg, "global_height", self.H) - 1
             cs = (np.clip(icx, 0, W1) // tw) * tw
-            rs = (np.clip(icy, 0, H1) // th_t) * th_t
+            # tile rows live in the GLOBAL frame (row-offset shard views)
+            rs = (np.clip(icy + off, 0, Hg1) // th_t) * th_t
             wlo = np.maximum(wlo, cs)
             whi = np.minimum(whi, np.minimum(cs + tw - 1, W1))
-            rlo = np.maximum(rlo, rs)
-            rhi = np.minimum(rhi, np.minimum(rs + th_t - 1, H1))
+            rlo = np.maximum(rlo, rs - off)
+            rhi = np.minimum(rhi, np.minimum(rs + th_t - 1, Hg1) - off)
         # invalid points carry an empty window (one dead copy in block 0)
         wlo = np.where(valid, wlo, 1).astype(np.float32)
         whi = np.where(valid, whi, 0).astype(np.float32)

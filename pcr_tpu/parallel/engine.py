@@ -24,9 +24,13 @@ can run its full create → ingest → resume → finalize → GeoTIFF lifecycle
 Until round 3 every sp shard received ALL points and masked rows to its
 block — per-chip cost grew with total points, not points/sp, and none of
 the single-chip fast paths applied (VERDICT r3 weak #5). The host-routed
-design above replaces that for single-tile grids; multi-tile grids and
-the Max/Min/MostRecent point families keep the dense shard_map steps in
-``parallel.sharding`` (still oracle-exact).
+design above replaces that for every configuration: the sum family rides
+the packed grid-scatter, Max/Min/MostRecent ride the packed flat scatter
+with kind-aware dp collectives (round 5), and multi-tile grids route to
+``PartitionedTpuEngine`` (per-device single-chip engines, see its
+docstring — round 5). The dense shard_map steps in ``parallel.sharding``
+remain as library-level building blocks (still oracle-exact) but no
+Pipeline configuration reaches them.
 
 Host inputs are padded to a bounded ladder of lengths (powers of two of a
 dp-divisible quantum) so the jit cache stays small; padding entries are
@@ -41,7 +45,8 @@ from ..core.types import ReductionType
 from ..ops.reduction import FLT_MAX
 from . import sharding
 
-__all__ = ["ShardedTpuEngine", "resolve_mesh_devices"]
+__all__ = ["ShardedTpuEngine", "PartitionedTpuEngine",
+           "resolve_mesh_devices"]
 
 
 def resolve_mesh_devices(mesh_devices, platform=None):
@@ -129,18 +134,33 @@ def _flat_state_builder(builder, lhp, ws):
 
 
 class _LocalCfg:
-    """GridConfig facade for one sp shard: the shard's row slice as a
-    single-tile grid in LOCAL coordinates. Only the attributes the
-    update builders read (height/width/tile dims/total_tiles)."""
+    """GridConfig facade for one row shard: the shard's row slice in
+    LOCAL coordinates, carrying the global frame (row_offset /
+    global_height / the real tile grid) so every home-tile clip site
+    (routing.home_tile_ranges, tpu_backend._device_tile_clip, the Pallas
+    kernels' inline clips) computes tile rows in GLOBAL coordinates and
+    translates back. Single-tile global grids keep the legacy view (the
+    shard itself is one tile; no clipping anywhere)."""
 
-    def __init__(self, width: int, local_rows: int):
-        self.width = width
+    def __init__(self, cfg, local_rows: int, row_offset: int = 0):
+        self.width = cfg.width
         self.height = local_rows
-        self.tile_width = width
-        self.tile_height = local_rows
+        self.row_offset = row_offset
+        self.global_height = cfg.height
+        if cfg.total_tiles() > 1:
+            self.tile_width = cfg.tile_width
+            self.tile_height = cfg.tile_height
+            self._tiles = cfg.total_tiles()
+        else:
+            self.tile_width = cfg.width
+            self.tile_height = local_rows
+            self._tiles = 1
+        self.cell_size_x = getattr(cfg, "cell_size_x", 1.0)
+        self.cell_size_y = getattr(cfg, "cell_size_y", -1.0)
+        self.bounds = getattr(cfg, "bounds", None)
 
     def total_tiles(self) -> int:
-        return 1
+        return self._tiles
 
 
 # chunk-key field that carries nsub, per key name (used to raise the
@@ -234,10 +254,11 @@ class ShardedTpuEngine:
         per-shard buffers stack into the mesh array)."""
         from ..engine import tpu_backend as tb
         p = object.__new__(tb.TpuEngine)
-        p.cfg = _LocalCfg(self.W, self.local_rows)
+        p.cfg = _LocalCfg(self.cfg, self.local_rows)
         p.H = self.local_rows
         p.W = self.W
-        p.C = self.local_rows * self.W
+        p.C = getattr(self, "_flat_C_override", None) \
+            or self.local_rows * self.W
         p.H_pad = self.local_h_pad
         p.W_state = self.W_state
         p.pallas = self._pallas_mode
@@ -324,10 +345,13 @@ class ShardedTpuEngine:
                 cells[0][0][j].builder, npoints))
         return staged
 
-    def _packed_step(self, builder, nf):
+    def _packed_step(self, builder, info):
         """Wrap a single-chip local update fn into the mesh step: each
         chip updates its local (local_h_pad, W_state) state block from
-        its (1, 1, L) buffer slice; dp > 1 merges deltas with one psum."""
+        its (1, 1, L) buffer slice; dp > 1 merges per-chip results with
+        the op's collective — psum for the sum family, pmax/pmin for
+        Max/Min, a lexicographic (timestamp, dp-index) reduction for
+        MostRecent (associativity: builtin_ops.h:15-120)."""
         import jax
         import jax.numpy as jnp
         from jax import shard_map
@@ -335,17 +359,52 @@ class ShardedTpuEngine:
 
         upd = builder()
         dp = self.dp
+        nf = info.state_floats
+        kind = info.scatter_kind
 
         def local(states, buf):
             b = buf.reshape(buf.shape[-1])
             if dp == 1:
                 return tuple(upd(tuple(states), b))
-            zeros = tuple(
-                sharding._vary(jax, jnp.zeros_like(s), ("dp",))
-                for s in states)
-            delta = upd(zeros, b)
-            return tuple(s + jax.lax.psum(d, "dp")
-                         for s, d in zip(states, delta))
+            if kind == "sum":
+                zeros = tuple(
+                    sharding._vary(jax, jnp.zeros_like(s), ("dp",))
+                    for s in states)
+                delta = upd(zeros, b)
+                return tuple(s + jax.lax.psum(d, "dp")
+                             for s, d in zip(states, delta))
+            # non-sum kinds: run the chip's update from identity state,
+            # then merge the per-chip candidates with the op's collective
+            ident = tuple(
+                sharding._vary(
+                    jax, jnp.full_like(s, np.float32(info.identity[f])),
+                    ("dp",))
+                for f, s in enumerate(states))
+            cand = upd(ident, b)
+            if kind == "max":
+                return (jnp.maximum(states[0],
+                                    jax.lax.pmax(cand[0], "dp")),)
+            if kind == "min":
+                return (jnp.minimum(states[0],
+                                    jax.lax.pmin(cand[0], "dp")),)
+            if kind == "argmax_ts":
+                # MostRecent: max timestamp wins across chips; the lowest
+                # dp index breaks ties (dp shards split points in ingest
+                # order, so this keeps "earliest point wins on ties");
+                # existing state wins ties against the batch.
+                cur_v, cur_t = states
+                cv, ct = cand
+                gm = jax.lax.pmax(ct, "dp")
+                dpi = jax.lax.axis_index("dp")
+                big = jnp.int32(2**31 - 1)
+                my_win = (ct == gm) & (gm > jnp.float32(-FLT_MAX))
+                windev = jax.lax.pmin(jnp.where(my_win, dpi, big), "dp")
+                gv = jax.lax.psum(
+                    jnp.where(my_win & (dpi == windev), cv, 0.0), "dp")
+                take = gm > cur_t
+                return (jnp.where(take, gv, cur_v),
+                        jnp.where(take, gm, cur_t))
+            raise NotImplementedError(kind)
 
         # dp == 1: the buffer's unit leading axis stays unsharded so the
         # update output is dp-replicated (no psum, no variance mismatch)
@@ -451,9 +510,54 @@ class ShardedTpuEngine:
 
             return self._stack(spec_idx, prepare_one,
                                int(np.count_nonzero(valid)))
-        # Max/Min/MostRecent (and multi-tile grids): dense legacy step;
-        # rows pre-mapped to the padded-global layout (single-cell
-        # targets, so the per-shard offset mapping is exact)
+        if self._fast and info.scatter_kind in ("max", "min", "argmax_ts"):
+            # Max/Min/MostRecent fast path: host-route each point to its
+            # owning sp shard; per-cell packed [cells|values|(w)|(ts)]
+            # chunks run the single-chip XLA scatter (incl. the 3-scatter
+            # lexicographic argmax for MostRecent) on the shard's local
+            # state, flattened to the padded (lhp, W_state) layout —
+            # the planner's C override makes the invalid-cell sentinel
+            # drop cleanly there. dp > 1 merges per-chip candidates with
+            # pmax/pmin/lexicographic collectives in _packed_step.
+            w = (np.asarray(weights, np.float32)
+                 if weights is not None else None)
+            ts = (np.asarray(timestamps, np.float32)
+                  if timestamps is not None else None)
+            lhp, ws = self.local_h_pad, self.W_state
+            routed = self._route(rows, rows, valid)
+            lmax = max((len(routed[s][d]) for s in range(self.sp)
+                        for d in range(self.dp)), default=0)
+            lmax = max(lmax, 1)
+            self._flat_C_override = lhp * ws
+
+            def prepare_one(planner, s, d):
+                idx = routed[s][d]
+                k = len(idx)
+                lrow = (rows[idx].astype(np.int64)
+                        - np.int64(s * self.local_rows))
+                lcells = lrow * ws + cols[idx]
+                chunks = planner.prepare_point(
+                    spec_idx,
+                    _pad(lcells.astype(np.int32), lmax, 0),
+                    _pad(np.ones(k, bool), lmax, False),
+                    _pad(values[idx], lmax, 0.0),
+                    _pad(w[idx], lmax, 1.0) if w is not None else None,
+                    _pad(ts[idx], lmax, -FLT_MAX)
+                    if ts is not None else None)
+                return [type(c)(c.key, c.buf,
+                                _flat_state_builder(c.builder, lhp, ws),
+                                c.npoints) for c in chunks]
+
+            try:
+                staged = self._stack(spec_idx, prepare_one,
+                                     int(np.count_nonzero(valid)))
+            finally:
+                self._flat_C_override = None
+            return staged
+        # dense legacy step (kept for the library-level sharded_point_step
+        # surface; no Pipeline configuration reaches it anymore): rows
+        # pre-mapped to the padded-global layout (single-cell targets, so
+        # the per-shard offset mapping is exact)
         L = _pad_len(n, self.dp * 1024)
         prow = self._padded_rows(np.maximum(rows, 0))
         arrays = self._shard(
@@ -635,8 +739,7 @@ class ShardedTpuEngine:
             fn = self._jits.get(chunk.key)
             if fn is None:
                 if isinstance(chunk, _StagedPacked):
-                    fn = self._packed_step(chunk.builder,
-                                           info.state_floats)
+                    fn = self._packed_step(chunk.builder, info)
                 else:
                     fn = chunk.builder()
                 self._jits[chunk.key] = fn
@@ -648,6 +751,188 @@ class ShardedTpuEngine:
                                             *chunk.arrays)
 
     # -- one-shot ingest ----------------------------------------------------------
+
+    def ingest_point(self, spec_idx, cells, valid, values,
+                     weights=None, timestamps=None) -> None:
+        self.commit(spec_idx, self.prepare_point(
+            spec_idx, cells, valid, values, weights, timestamps))
+
+    def ingest_gaussian(self, spec_idx, gp, valid, values) -> None:
+        self.commit(spec_idx, self.prepare_gaussian(
+            spec_idx, gp, valid, values))
+
+    def ingest_line(self, spec_idx, lp, valid, values, col, row) -> None:
+        self.commit(spec_idx, self.prepare_line(
+            spec_idx, lp, valid, values, col, row))
+
+
+class PartitionedTpuEngine:
+    """Multi-device engine for MULTI-TILE grids: one single-chip
+    ``TpuEngine`` per device, each owning a contiguous row shard of the
+    grid; ingest host-routes every entry to the shard(s) its footprint
+    touches, exactly like the single-tile host-routed fast path — per-chip
+    work is proportional to its share of the points, never the total.
+
+    Why not the shard_map path: home-tile clipping (glyph footprints clip
+    to the owner's tile, tile_router semantics) computes tile rows from
+    the shard's global row offset, and that offset is a per-shard
+    trace-time constant inside the single-chip programs (incl. the Pallas
+    kernels, whose clip masks bake it into the kernel body) — a
+    shard_map program must be identical on every mesh cell. One engine
+    per device gives each shard its own correctly-offset program via the
+    ``_LocalCfg`` shard view; every single-chip fast path (sorted-matmul
+    splat, Pallas 2-D kernels, native staging, lazy commit batching)
+    runs unchanged.
+
+    Row ownership is exclusive, so no collectives are needed (the
+    reference's ops only require an associative merge for cross-unit
+    combination — builtin_ops.h:15-120 — and here units never share
+    cells; straddling footprints are duplicated and clipped, not
+    merged). The dp/sp mesh split is flattened: all dp*sp devices serve
+    as row shards."""
+
+    def __init__(self, cfg, plans, devices):
+        from ..engine.tpu_backend import TpuEngine, enable_compilation_cache
+        enable_compilation_cache()
+        self.cfg = cfg
+        self.plans = plans
+        self.devices = list(devices)
+        self.H, self.W = cfg.height, cfg.width
+        n = max(1, min(len(self.devices), self.H))
+        self.local_rows = -(-self.H // n)
+        self.nshards = -(-self.H // self.local_rows)
+        self.engines = []
+        self.offsets = []
+        for s in range(self.nshards):
+            off = s * self.local_rows
+            rows = min(self.local_rows, self.H - off)
+            view = _LocalCfg(cfg, rows, off)
+            self.engines.append(TpuEngine(
+                view, plans, device=self.devices[s % len(self.devices)]))
+            self.offsets.append(off)
+
+    # -- state access -------------------------------------------------------
+
+    def load_state(self, spec_idx: int, fields_hw) -> None:
+        for s, eng in enumerate(self.engines):
+            off = self.offsets[s]
+            rows = eng.H
+            eng.load_state(spec_idx, [
+                np.asarray(f, np.float32)[off:off + rows]
+                for f in fields_hw])
+
+    def fetch_state(self, spec_idx: int):
+        _, info = self.plans[spec_idx]
+        parts = [eng.fetch_state(spec_idx) for eng in self.engines]
+        return [np.concatenate([p[f] for p in parts], axis=0)[: self.H]
+                for f in range(info.state_floats)]
+
+    def finalize_band(self, spec_idx: int) -> np.ndarray:
+        return np.concatenate(
+            [eng.finalize_band(spec_idx) for eng in self.engines],
+            axis=0)[: self.H]
+
+    def block_until_ready(self):
+        for eng in self.engines:
+            eng.block_until_ready()
+
+    def flush_pending(self, spec_idx=None):
+        for eng in self.engines:
+            eng.flush_pending(spec_idx)
+
+    # -- routing ------------------------------------------------------------
+
+    def _route(self, lo, hi, valid):
+        """Per shard: indices whose inclusive global-row span [lo, hi]
+        overlaps the shard's rows (duplicates straddlers; out-of-shard
+        parts clip away in the shard's local frame)."""
+        lr = self.local_rows
+        s0 = np.clip(np.minimum(lo, hi) // lr, 0, self.nshards - 1)
+        s1 = np.clip(np.maximum(lo, hi) // lr, 0, self.nshards - 1)
+        return [np.flatnonzero(valid & (s0 <= s) & (s <= s1))
+                for s in range(self.nshards)]
+
+    # -- staging ------------------------------------------------------------
+    # Staged lists are [(shard, chunks), ...]; empty shards stage nothing
+    # (and therefore dispatch nothing at commit).
+
+    def prepare_point(self, spec_idx: int, cells, valid, values,
+                      weights=None, timestamps=None):
+        cells = np.asarray(cells, np.int64)
+        valid = np.asarray(valid, bool)
+        values = np.asarray(values, np.float32)
+        w = (np.asarray(weights, np.float32)
+             if weights is not None else None)
+        ts = (np.asarray(timestamps, np.float32)
+              if timestamps is not None else None)
+        rows = cells // self.W
+        cols = cells % self.W
+        staged = []
+        for s, idx in enumerate(self._route(rows, rows, valid)):
+            if not len(idx):
+                continue
+            eng = self.engines[s]
+            lcells = ((rows[idx] - s * self.local_rows) * self.W
+                      + cols[idx]).astype(np.int32)
+            staged.append((s, eng.prepare_point(
+                spec_idx, lcells, np.ones(len(idx), bool), values[idx],
+                w[idx] if w is not None else None,
+                ts[idx] if ts is not None else None)))
+        return staged
+
+    def prepare_gaussian(self, spec_idx: int, gp, valid, values):
+        valid = np.asarray(valid, bool)
+        values = np.asarray(values, np.float32)
+        icy = gp.icy.astype(np.int64)
+        r = np.where(valid, gp.r, 0).astype(np.int64)
+        staged = []
+        for s, idx in enumerate(self._route(icy - r, icy + r, valid)):
+            if not len(idx):
+                continue
+            k = len(idx)
+            gpl = _GpView(
+                icx=gp.icx[idx],
+                icy=(gp.icy[idx]
+                     - np.int32(s * self.local_rows)),
+                sub_cx=gp.sub_cx[idx], sub_cy=gp.sub_cy[idx],
+                sx=gp.sx[idx], sy=gp.sy[idx],
+                cos_rot=gp.cos_rot[idx], sin_rot=gp.sin_rot[idx],
+                r=gp.r[idx], rotated=gp.rotated)
+            staged.append((s, self.engines[s].prepare_gaussian(
+                spec_idx, gpl, np.ones(k, bool), values[idx])))
+        return staged
+
+    def prepare_line(self, spec_idx: int, lp, valid, values, col, row):
+        valid = np.asarray(valid, bool)
+        values = np.asarray(values, np.float32)
+        lo = np.minimum(lp.iy0, lp.iy1).astype(np.int64)
+        hi = np.maximum(lp.iy0, lp.iy1).astype(np.int64)
+        staged = []
+        for s, idx in enumerate(self._route(lo, hi, valid)):
+            if not len(idx):
+                continue
+            k = len(idx)
+            off = np.int32(s * self.local_rows)
+            lpl = _LpView(
+                ix0=lp.ix0[idx], iy0=lp.iy0[idx] - off,
+                ix1=lp.ix1[idx], iy1=lp.iy1[idx] - off,
+                k_cells=lp.k_cells)
+            # col/row: the clamped GLOBAL assigned cell, row shifted to
+            # the shard frame UNCLAMPED — home_tile_ranges reconstructs
+            # the global frame via the view's row_offset, so a line whose
+            # home tile lies outside this shard paints nothing here.
+            staged.append((s, self.engines[s].prepare_line(
+                spec_idx, lpl, np.ones(k, bool), values[idx],
+                np.asarray(col)[idx], np.asarray(row)[idx] - off)))
+        return staged
+
+    # -- commit -------------------------------------------------------------
+
+    def commit(self, spec_idx: int, staged) -> None:
+        for s, chunks in staged:
+            self.engines[s].commit(spec_idx, chunks)
+
+    # -- one-shot ingest ------------------------------------------------------
 
     def ingest_point(self, spec_idx, cells, valid, values,
                      weights=None, timestamps=None) -> None:

@@ -139,6 +139,86 @@ def test_multi_tile_home_clip_matches_cpu():
     assert_bands_match(got, want, 2, atol=2e-5)
 
 
+def test_multi_tile_point_families_match_cpu():
+    """Multi-tile grids on a mesh: Max/MostRecent/Average point families
+    run the partitioned per-shard engines (round-5 fallback-hole close;
+    VERDICT r4 #2) and match the CPU oracle."""
+    gc = make_grid_config(tile=32)
+    assert gc.total_tiles() > 1
+    clouds = [make_cloud(5000, seed=20, channels=("v", "t")) for _ in (0,)]
+    want = run_pipeline(cpu_config(gc, point_specs()), clouds)
+    got = run_pipeline(mesh_config(gc, point_specs()), clouds)
+    assert_bands_match(got, want, 3)
+
+
+def test_multi_tile_uses_partitioned_engine():
+    from pcr_tpu.parallel.engine import PartitionedTpuEngine
+    gc = make_grid_config(tile=32)
+    p = Pipeline.create(mesh_config(gc, point_specs()))
+    assert isinstance(p._engine, PartitionedTpuEngine)
+    # per-shard work scales with the shard's points, not the total:
+    # routing a bottom-rows-only cloud stages nothing on top shards
+    eng = p._engine
+    assert eng.nshards > 1
+    c = make_cloud(500, seed=21, channels=("v", "t"))
+    staged = eng.prepare_point(
+        0, np.zeros(4, np.int64) + (gc.height - 1) * gc.width,
+        np.ones(4, bool), np.ones(4, np.float32))
+    assert {s for s, _ in staged} == {eng.nshards - 1}
+
+
+def test_multi_tile_pallas_interpret_matches_cpu(monkeypatch):
+    """Partitioned engines with the Pallas kernels (interpret mode):
+    the kernels' home-tile clips compute tile rows in the global frame
+    via the shard view's row_offset."""
+    monkeypatch.setenv("PCR_PALLAS", "interpret")
+    gc = make_grid_config(tile=32)
+    specs = [
+        pcr.gaussian_splat_spec("v", default_sigma=2.0,
+                                max_radius_cells=8.0),
+        pcr.gaussian_splat_spec("v", default_sigma_x=2.0,
+                                default_sigma_y=0.8,
+                                default_rotation=0.6,
+                                max_radius_cells=7.0),
+        pcr.line_splat_spec("v", default_direction=0.7,
+                            default_half_length=5.0),
+    ]
+    clouds = [make_cloud(1500, seed=22)]
+    want = run_pipeline(cpu_config(gc, specs), clouds)
+    got = run_pipeline(mesh_config(gc, specs), clouds)
+    assert_bands_match(got, want, 3, atol=2e-5)
+
+
+def test_memory_budget_with_mesh_raises_typed_error():
+    """gpu_memory_budget + mesh is a typed error, not a warn-and-ignore
+    (VERDICT r4 #2): state is already 1/N-sharded per chip."""
+    gc = make_grid_config()
+    cfg = mesh_config(gc, point_specs())
+    cfg.gpu_memory_budget = 1 << 20
+    with pytest.raises(pcr.PcrError) as ei:
+        Pipeline.create(cfg)
+    assert ei.value.status.code == pcr.StatusCode.InvalidArgument
+    assert "mesh" in str(ei.value)
+
+
+def test_multi_tile_resume_roundtrip(tmp_path):
+    """Checkpoint/resume through the partitioned engine."""
+    gc = make_grid_config(tile=32)
+    specs = [ReductionSpec(value_channel="v", type=RT.Max)]
+    c1 = make_cloud(2000, seed=23)
+    c2 = make_cloud(2000, seed=24)
+    want = run_pipeline(cpu_config(gc, specs), [c1, c2])
+    state_dir = str(tmp_path / "state")
+    p1 = Pipeline.create(mesh_config(gc, specs, state_dir=state_dir))
+    p1.ingest(c1)
+    p1.finalize()
+    p2 = Pipeline.create(mesh_config(gc, specs, state_dir=state_dir,
+                                     resume=True))
+    p2.ingest(c2)
+    p2.finalize()
+    assert_bands_match(p2.result(), want, 1)
+
+
 def test_odd_grid_height_pads_rows():
     """H not divisible by sp: the engine row-pads and slices on fetch."""
     gc = make_grid_config(w=64.0, h=37.0)

@@ -69,6 +69,7 @@ T_SAMPLESPERPIXEL = 277
 T_ROWSPERSTRIP = 278
 T_STRIPBYTECOUNTS = 279
 T_PLANARCONFIG = 284
+T_PREDICTOR = 317
 T_NEWSUBFILETYPE = 254
 T_TILEWIDTH = 322
 T_TILELENGTH = 323
@@ -129,15 +130,18 @@ def lzw_encode(data: bytes) -> bytes:
             emit(table[w])
             table[wc] = next_code
             next_code += 1
-            # early change: bump width when next_code == 2^width - 1
-            if next_code == (1 << code_width) - 1:
-                if code_width < 12:
-                    code_width += 1
-                else:
-                    emit(_CLEAR)
-                    table = {bytes([i]): i for i in range(256)}
-                    next_code = 258
-                    code_width = 9
+            # Width/reset points verified against libtiff (Pillow reads
+            # the output; round 5 — the previous rule was one step early
+            # at every boundary and standard readers rejected the
+            # streams): widen when the next code to assign reaches
+            # 2^width, reset one entry before the 12-bit table fills.
+            if next_code >= 4094:
+                emit(_CLEAR)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                code_width = 9
+            elif next_code == (1 << code_width) and code_width < 12:
+                code_width += 1
             w = bytes([ch])
     if w:
         emit(table[w])
@@ -147,7 +151,11 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def lzw_decode(data: bytes) -> bytes:
+def lzw_decode(data: bytes, legacy: bool = False) -> bytes:
+    """TIFF LZW decode. `legacy=True` replays the pre-round-5 width rule
+    (one step early at every boundary) so GeoTIFFs written by older
+    releases of this library still read back; standard streams (libtiff,
+    GDAL, this writer since round 5) use the default rule."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     code_width = 9
@@ -156,6 +164,7 @@ def lzw_decode(data: bytes) -> bytes:
     prev: bytes | None = None
     pos = 0
     n = len(data)
+    bump = 2 if legacy else 1
     while True:
         while nbits < code_width:
             if pos >= n:
@@ -184,9 +193,10 @@ def lzw_decode(data: bytes) -> bytes:
         out += entry
         prev = entry
         # Early change, lag-corrected: the decoder's table is one entry
-        # behind the encoder's next_code at emission time, so bump at -2
-        # where the encoder bumps at (1 << width) - 1.
-        if len(table) >= (1 << code_width) - 2 and code_width < 12:
+        # behind the encoder's next_code at emission time, so bump at -1
+        # where the encoder bumps at 2^width (verified against libtiff
+        # streams; round 5).
+        if len(table) >= (1 << code_width) - bump and code_width < 12:
             code_width += 1
 
 
@@ -224,8 +234,14 @@ def _decompress(data: bytes, comp_id: int, expected: int = 0) -> bytes:
     if comp_id == COMP_LZW:
         from .. import native
         if native.available() and expected:
-            return native.lzw_decode(data, expected)
-        return lzw_decode(data)
+            out = native.lzw_decode(data, expected)
+        else:
+            out = lzw_decode(data)
+        if expected and len(out) < expected:
+            # pre-round-5 flavor of this library's own writer (early
+            # width bumps); standard streams never hit this path
+            out = lzw_decode(data, legacy=True)
+        return out
     if comp_id == COMP_ZSTD:
         import zstandard
         return zstandard.ZstdDecompressor().decompress(data)
@@ -720,6 +736,7 @@ class _TiffImage:
     subfile_type: int
     sample_format: int
     bits: int
+    predictor: int = 1
 
 
 def _read_ifds(path: str):
@@ -812,6 +829,7 @@ def _image_from_tags(t):
         subfile_type=int(one(T_NEWSUBFILETYPE, 0)),
         sample_format=int(one(T_SAMPLEFORMAT, 1)),
         bits=int(one(T_BITSPERSAMPLE, 32)),
+        predictor=int(one(T_PREDICTOR, 1)),
     )
 
 
@@ -854,46 +872,104 @@ def read_geotiff_info(path: str):
     return img.width, img.height, img.samples, crs, bounds
 
 
+# SampleFormat (tag 339) x BitsPerSample (tag 258) -> numpy dtype.
+# 1 = unsigned int, 2 = signed int, 3 = IEEE float (TIFF 6.0 §19).
+_SAMPLE_DTYPES = {
+    (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
+    (2, 8): np.int8, (2, 16): np.int16, (2, 32): np.int32,
+    (3, 32): np.float32, (3, 64): np.float64,
+}
+
+
+def _decode_chunk(raw: bytes, rows: int, width: int, samples: int,
+                  img: "_TiffImage", dtype) -> np.ndarray:
+    """Decode one decompressed tile/strip into (rows, width, samples).
+
+    Handles the horizontal-differencing predictor (tag 317 = 2, the GDAL
+    LZW default for integer rasters: each sample is stored as the delta
+    to the previous pixel's same channel along the row) and the
+    floating-point predictor (317 = 3, TIFF TechNote 3: the row's value
+    bytes are split into MSB-first byte planes, then delta-coded as a
+    byte stream). Integer cumsum wraps modulo 2^bits, matching the
+    encoder's modular differencing."""
+    itemsize = np.dtype(dtype).itemsize
+    n = width * samples
+    expected = rows * n * itemsize
+    if img.predictor == 3:
+        b = np.frombuffer(raw[:expected], np.uint8).reshape(
+            rows, n * itemsize)
+        acc = np.cumsum(b, axis=1, dtype=np.uint8)
+        planes = acc.reshape(rows, itemsize, n)
+        # plane 0 holds each value's MSB; reorder to little-endian bytes
+        interleaved = np.ascontiguousarray(
+            planes[:, ::-1, :].transpose(0, 2, 1))
+        a = interleaved.view(np.dtype(dtype).newbyteorder("<"))
+        return a.reshape(rows, width, samples)
+    a = np.frombuffer(raw[:expected],
+                      np.dtype(dtype).newbyteorder("<")).reshape(
+        rows, width, samples)
+    if img.predictor == 2:
+        a = np.cumsum(a, axis=1, dtype=a.dtype)
+    return a
+
+
 def read_geotiff_band(path: str, band_index: int) -> np.ndarray:
     """Read one band (0-based) as a (height, width) float32 array
-    (reference: grid_io.h:77-80)."""
+    (reference: grid_io.h:77-80; GDAL reads any driver flavor,
+    grid_io.cpp:372-497 — this reader covers the common GeoTIFF
+    envelope: chunky or band-sequential planar config, strips (any
+    rows-per-strip) or tiles, uint8/16/32, int8/16/32, float32/64
+    samples, LZW/DEFLATE/ZSTD/none compression, horizontal and
+    floating-point predictors)."""
     images, data = _read_ifds(path)
     main = [im for im in images if im.subfile_type == 0]
     img = main[0] if main else images[0]
     if band_index < 0 or band_index >= img.samples:
         raise PcrError(Status.error(StatusCode.InvalidArgument,
                                     f"band index {band_index} out of range"))
-    if img.planar != 2:
+    if img.planar not in (1, 2):
         raise PcrError(Status.error(
             StatusCode.NotImplemented,
-            "only planar-configuration-2 GeoTIFFs are supported"))
-    if img.bits != 32 or img.sample_format != 3:
-        raise PcrError(Status.error(StatusCode.NotImplemented,
-                                    "only float32 bands are supported"))
+            f"unsupported TIFF planar configuration {img.planar}"))
+    dtype = _SAMPLE_DTYPES.get((img.sample_format, img.bits))
+    if dtype is None:
+        raise PcrError(Status.error(
+            StatusCode.NotImplemented,
+            f"unsupported TIFF sample format {img.sample_format} with "
+            f"{img.bits} bits per sample"))
+    itemsize = np.dtype(dtype).itemsize
+    chunky = img.planar == 1 and img.samples > 1
+    spc = img.samples if chunky else 1         # samples per chunk pixel
+    sel = band_index if chunky else 0
     out = np.empty((img.height, img.width), dtype=np.float32)
     if img.tile_w:
         tiles_x, tiles_y = _tile_grid(img.width, img.height,
                                       img.tile_w, img.tile_h)
         per_band = tiles_x * tiles_y
-        base = band_index * per_band
+        base = 0 if chunky or img.samples == 1 else band_index * per_band
         for ty in range(tiles_y):
             for tx in range(tiles_x):
                 k = base + ty * tiles_x + tx
                 off, cnt = int(img.offsets[k]), int(img.counts[k])
                 raw = _decompress(data[off:off + cnt], img.compression,
-                                  img.tile_h * img.tile_w * 4)
-                tile = np.frombuffer(raw, dtype="<f4").reshape(
-                    img.tile_h, img.tile_w)
+                                  img.tile_h * img.tile_w * spc * itemsize)
+                tile = _decode_chunk(raw, img.tile_h, img.tile_w, spc,
+                                     img, dtype)[:, :, sel]
                 ys, xs = ty * img.tile_h, tx * img.tile_w
                 ye = min(ys + img.tile_h, img.height)
                 xe = min(xs + img.tile_w, img.width)
                 out[ys:ye, xs:xe] = tile[: ye - ys, : xe - xs]
     else:
-        # one strip per band (what this writer produces)
-        off = int(img.offsets[band_index])
-        cnt = int(img.counts[band_index])
-        raw = _decompress(data[off:off + cnt], img.compression,
-                          img.height * img.width * 4)
-        out[:] = np.frombuffer(raw, dtype="<f4").reshape(
-            img.height, img.width)
+        rps = img.rows_per_strip or img.height
+        nstrips = -(-img.height // rps)
+        base = 0 if chunky or img.samples == 1 else band_index * nstrips
+        for s in range(nstrips):
+            ys = s * rps
+            rows = min(rps, img.height - ys)
+            off = int(img.offsets[base + s])
+            cnt = int(img.counts[base + s])
+            raw = _decompress(data[off:off + cnt], img.compression,
+                              rows * img.width * spc * itemsize)
+            out[ys:ys + rows] = _decode_chunk(
+                raw, rows, img.width, spc, img, dtype)[:, :, sel]
     return out

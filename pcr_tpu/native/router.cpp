@@ -371,16 +371,17 @@ int64_t pcr_lzw_encode(const uint8_t* in, int64_t n,
         hash_val[h] = (int16_t)next_code;
         hash_gen[h] = gen;
         ++next_code;
-        // early change: widen when the next code to assign reaches 2^w - 1
-        if (next_code == (1 << width) - 1) {
-            if (width < 12) {
-                ++width;
-            } else {
-                w.emit(LZW_CLEAR, width);
-                reset();
-                next_code = LZW_FIRST;
-                width = 9;
-            }
+        // Width/reset points verified against libtiff (round 5; the
+        // previous rule was one step early and standard readers rejected
+        // the streams): widen when the next code to assign reaches
+        // 2^width, reset one entry before the 12-bit table fills.
+        if (next_code >= 4094) {
+            w.emit(LZW_CLEAR, width);
+            reset();
+            next_code = LZW_FIRST;
+            width = 9;
+        } else if (next_code == (1 << width) && width < 12) {
+            ++width;
         }
         cur = c;
     }
@@ -469,8 +470,9 @@ int64_t pcr_lzw_decode(const uint8_t* in, int64_t n,
         }
         prev_code = code;
         // decoder lags the encoder's table by one entry, so it widens at
-        // (1 << width) - 2 where the encoder widens at -1 (see geotiff.py)
-        if (table_n >= (1 << width) - 2 && width < 12) ++width;
+        // (1 << width) - 1 where the encoder widens at 2^width (verified
+        // against libtiff streams; see geotiff.py, round 5)
+        if (table_n >= (1 << width) - 1 && width < 12) ++width;
     }
 }
 

@@ -36,6 +36,116 @@ class TestLzw:
         assert len(enc) < len(data) // 2   # compresses repetitive data
 
 
+class TestExternalInterop:
+    """Read fixtures written by Pillow/libtiff — NOT this library's
+    writer (reference reads any GDAL flavor, grid_io.cpp:372-497;
+    VERDICT r4 #3). Regenerate with tests/data/make_external_fixtures.py
+    (deterministic, seed 0)."""
+
+    @staticmethod
+    def _fixtures():
+        import os
+        here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data")
+        import sys
+        sys.path.insert(0, here)
+        try:
+            from make_external_fixtures import arrays
+        finally:
+            sys.path.pop(0)
+        return here, arrays()
+
+    @pytest.mark.parametrize("name,idx", [
+        ("external_uint16_lzw_pred2.tif", 0),     # GDAL's int default
+        ("external_float32_lzw_pred3.tif", 1),    # fp predictor
+        ("external_uint8_deflate_pred2.tif", 2),
+        ("external_int32_raw.tif", 3),
+    ])
+    def test_single_band_flavors_cell_exact(self, name, idx):
+        import os
+        here, arrs = self._fixtures()
+        got = read_geotiff_band(os.path.join(here, name), 0)
+        np.testing.assert_array_equal(got, arrs[idx].astype(np.float32))
+
+    def test_chunky_multiband_multistrip(self):
+        import os
+        here, arrs = self._fixtures()
+        rgb = arrs[4]
+        path = os.path.join(here, "external_rgb_lzw_pred2_strips.tif")
+        for b in range(3):
+            got = read_geotiff_band(path, b)
+            np.testing.assert_array_equal(
+                got, rgb[:, :, b].astype(np.float32))
+
+    def test_our_lzw_output_reads_in_external_decoder(self, tmp_path):
+        """The inverse direction: a stock libtiff reader (Pillow) must
+        decode this writer's LZW streams (the pre-round-5 width rule was
+        nonstandard and rejected by libtiff)."""
+        PIL = pytest.importorskip("PIL.Image")
+        gc = make_grid_config(w=300.0, h=280.0)
+        rng = np.random.default_rng(1)
+        g = pcr.Grid.create(300, 280, [pcr.BandDesc(name="a")])
+        arr = rng.normal(size=(280, 300)).astype(np.float32)
+        g.set_band_array(0, arr)
+        path = str(tmp_path / "ours.tif")
+        assert write_geotiff(path, g, gc,
+                             GeoTiffOptions(compress="LZW")).ok()
+        got = np.array(PIL.open(path))
+        np.testing.assert_array_equal(got, arr)
+
+    def test_legacy_lzw_flavor_still_reads(self):
+        """Streams from this library's pre-round-5 encoder (width bumps
+        one step early) decode through the legacy fallback."""
+        data = np.random.default_rng(4).integers(
+            0, 256, 20000, dtype=np.uint8).tobytes()
+
+        # miniature replica of the legacy encoder rule
+        out = bytearray()
+        bitbuf = nbits = 0
+        code_width = 9
+
+        def emit(code):
+            nonlocal bitbuf, nbits
+            bitbuf = (bitbuf << code_width) | code
+            nbits += code_width
+            while nbits >= 8:
+                nbits -= 8
+                out.append((bitbuf >> nbits) & 0xFF)
+            bitbuf &= (1 << nbits) - 1
+
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        emit(256)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_width) - 1:
+                if code_width < 12:
+                    code_width += 1
+                else:
+                    emit(256)
+                    table = {bytes([i]): i for i in range(256)}
+                    next_code = 258
+                    code_width = 9
+            w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(257)
+        if nbits:
+            out.append((bitbuf << (8 - nbits)) & 0xFF)
+
+        legacy_stream = bytes(out)
+        assert lzw_decode(legacy_stream, legacy=True) == data
+        # and the standard rule does NOT decode it fully (sanity)
+        assert len(lzw_decode(legacy_stream)) != len(data)
+
+
 class TestWriteRead:
     def test_single_band_roundtrip(self, tmp_path):
         gc = make_grid_config(w=64.0, h=48.0)

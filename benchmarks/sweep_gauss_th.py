@@ -78,8 +78,21 @@ def main():
     os.environ.pop("PCR_GAUSS_TH", None)
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "benchmark_results", "gauss_th_sweep.json")
+    # MERGE into the existing record (advisor r4: a partial re-run used
+    # to overwrite the whole file and erase earlier sigmas' data);
+    # results key by sigma/TH so repeated configs update in place.
+    prev = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    merged = dict(prev.get("results", {}))
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump({"n_points": N, "results": results}, f, indent=1)
+        json.dump({"n_points": N, "results": merged}, f, indent=1)
+        f.write("\n")
     print("wrote", out)
 
 

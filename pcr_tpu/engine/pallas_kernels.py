@@ -75,7 +75,7 @@ def gauss_col_tile(W: int, rmax: int) -> int:
     accumulate: sigma=1 86.6 -> 110.2, sigma=4 79.9 -> 88.1 Mpts/s at 128
     vs 256; re-measured after the merged f0/f1 dot landed, the narrow
     tile now also wins for windows up to the tile itself: sigma=8
-    66.4 -> 70.9, sigma=16 58.7 -> 61.0 — so the default threshold covers
+    66.4 -> 70.9, sigma=16 58.7 -> 61.2 — so the default threshold covers
     every window that fits two column halos; wider windows (w > 65, only
     reachable with user max_radius > 32) stay on the wide tile,
     unmeasured)."""

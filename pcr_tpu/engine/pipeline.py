@@ -202,6 +202,13 @@ class Pipeline:
         st = Pipeline._validate_config(config)
         if not st.ok():
             raise PcrError(st)
+        if config.cpu_threads:
+            # cap the native OpenMP kernels' thread count (reference:
+            # omp_set_num_threads, pipeline.cpp:94-98); results are
+            # thread-count-invariant (test_determinism), this only
+            # bounds CPU usage
+            from .. import native
+            native.set_num_threads(config.cpu_threads)
         backend = Pipeline._resolve_backend(config)
         p = Pipeline(config, backend)
         for spec in config.reductions:

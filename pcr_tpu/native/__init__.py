@@ -18,7 +18,8 @@ import numpy as np
 
 __all__ = ["available", "lib", "assign", "assign_cells", "fractional_cells",
            "gauss_wire_pack", "line_endpoints",
-           "lzw_encode", "lzw_decode", "rotp_counts", "rotp_place"]
+           "lzw_encode", "lzw_decode", "rotp_counts", "rotp_place",
+           "set_num_threads"]
 
 _LIB = None
 _TRIED = False
@@ -124,6 +125,8 @@ def _load():
     lib.pcr_fin_avg.argtypes = [f, f, f, ctypes.c_int64]
     lib.pcr_fin_sentinel.argtypes = [f, f, ctypes.c_int64, ctypes.c_float]
     lib.pcr_fin_count.argtypes = [f, f, ctypes.c_int64]
+    lib.pcr_set_num_threads.argtypes = [ctypes.c_int]
+    lib.pcr_set_num_threads.restype = None
     _LIB = lib
     return _LIB
 
@@ -281,6 +284,16 @@ def line_endpoints(cfg, x, y, valid, hx: float, hy: float,
                          _ptr(nruns, ctypes.c_int32),
                          _ptr(stats, ctypes.c_int64))
     return e0, e1, nruns, int(stats[0]), int(stats[1])
+
+
+def set_num_threads(n: int) -> None:
+    """Cap the OpenMP thread count used by every native kernel
+    (PipelineConfig.cpu_threads; the reference does the same via
+    omp_set_num_threads, pipeline.cpp:94-98). n <= 0 restores the
+    runtime default. No-op when the native library is unavailable."""
+    L = _load()
+    if L is not None:
+        L.pcr_set_num_threads(int(n))
 
 
 def lzw_encode(data: bytes) -> bytes:

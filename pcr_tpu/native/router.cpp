@@ -22,6 +22,19 @@
 
 extern "C" {
 
+// Honor PipelineConfig::cpu_threads in the OpenMP kernels (the
+// reference does the same via omp_set_num_threads,
+// src/engine/pipeline.cpp:94-98). n <= 0 restores the runtime default.
+void pcr_set_num_threads(int n)
+{
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+    else omp_set_num_threads(omp_get_num_procs());
+#else
+    (void)n;
+#endif
+}
+
 // world→cell assignment: col/row (clamped) + valid mask.
 void pcr_assign(const double* x, const double* y, int64_t n,
                 double min_x, double min_y, double max_x, double max_y,

@@ -91,3 +91,33 @@ def test_ingest_order_invariance_for_commutative_ops():
             p.finalize()
             out.append(p.result().band_array(0).copy())
         assert np.array_equal(out[0], out[1], equal_nan=True)
+
+
+@pytest.mark.parametrize("mode", [pcr.ExecutionMode.CPU,
+                                  pcr.ExecutionMode.GPU])
+def test_cpu_threads_invariance(mode):
+    """cpu_threads bounds the native OpenMP kernels' thread count
+    (reference honors it via omp_set_num_threads, pipeline.cpp:94-98);
+    1-thread and N-thread runs must be bit-identical (the reference's
+    test_threading.cpp:53-553 contract). 100k points so the native
+    assign path (engaged >= 65536) actually runs threaded."""
+    from pcr_tpu import native
+    gc = make_grid_config(w=100.0, h=100.0)
+    out = []
+    try:
+        for nthreads in (1, 8):
+            cfg = pcr.PipelineConfig()
+            cfg.grid = gc
+            import copy
+            cfg.reductions = copy.deepcopy(SPECS)
+            cfg.exec_mode = mode
+            cfg.cpu_threads = nthreads
+            p = pcr.Pipeline.create(cfg)
+            p.ingest(big_cloud(n=100_000))
+            p.finalize()
+            out.append([p.result().band_array(i).copy()
+                        for i in range(len(SPECS))])
+    finally:
+        native.set_num_threads(0)   # restore the runtime default
+    for a, b in zip(*out):
+        assert np.array_equal(a, b, equal_nan=True)

@@ -186,3 +186,78 @@ class TestFilterParity:
             m = ~np.isnan(a[0])
             assert (np.isnan(a[0]) == np.isnan(b[0])).all()
             assert np.abs(a[0][m] - b[0][m]).max() <= PARITY_ATOL
+
+
+class TestLargeExtentParity:
+    """SURVEY §7 'hard parts' — f64 host coordinates vs f32 device
+    offsets at LiDAR-scale ABSOLUTE coordinates (VERDICT r4 #6): a
+    UTM-scale frame (offsets >= 3.8e5 m east / 4.3e6 m north, the DC
+    EPSG:32110-like magnitude; f32 alone resolves only ~0.03 m at 3.8e5
+    and ~0.5 m at 4.3e6, so any device math on absolute f32 coordinates
+    would shear cells). The engine must subtract the grid origin in f64
+    on the host and carry f32 offsets; the 1e-5 parity bar catches any
+    absolute-coordinate leak."""
+
+    OX, OY = 389_000.0, 4_306_000.0   # ~DC easting/northing magnitudes
+
+    def _grid(self, tile=4096):
+        bbox = pcr.BBox()
+        bbox.min_x, bbox.min_y = self.OX, self.OY
+        bbox.max_x, bbox.max_y = self.OX + 1000.0, self.OY + 1000.0
+        gc = pcr.GridConfig()
+        gc.bounds = bbox
+        gc.cell_size_x, gc.cell_size_y = 1.0, -1.0
+        gc.tile_width = gc.tile_height = tile
+        gc.crs = pcr.CRS.from_epsg(32110)
+        gc.compute_dimensions()
+        return gc
+
+    def _cloud(self, n=20000, seed=6):
+        rng = np.random.default_rng(seed)
+        c = pcr.PointCloud.create(n)
+        # concentrate mass near cell boundaries too: f32 absolute coords
+        # would flip these across cells
+        x = self.OX + rng.uniform(0, 1000.0, n)
+        x[: n // 4] = self.OX + np.round(x[: n // 4] - self.OX) \
+            + rng.uniform(-1e-3, 1e-3, n // 4)
+        c.set_x_array(x)
+        c.set_y_array(self.OY + rng.uniform(0, 1000.0, n))
+        for name, arr in [
+            ("v", rng.normal(0, 1, n)),
+            ("dir", rng.uniform(0, 2 * np.pi, n)),
+            ("hl", rng.uniform(0.5, 6.0, n)),
+        ]:
+            c.add_channel(name, pcr.DataType.Float32)
+            c.set_channel_array_f32(name, arr.astype(np.float32))
+        return c
+
+    def test_point_families_at_utm_offsets(self):
+        gc = self._grid()
+        specs = [
+            pcr.ReductionSpec(value_channel="v", type=RT.Sum),
+            pcr.ReductionSpec(value_channel="v", type=RT.Average),
+            pcr.ReductionSpec(value_channel="v", type=RT.Max),
+        ]
+        assert_parity(specs, [self._cloud()], gc)
+
+    def test_glyphs_at_utm_offsets(self):
+        gc = self._grid()
+        specs = [
+            pcr.gaussian_splat_spec("v", default_sigma=2.0,
+                                    max_radius_cells=8.0),
+            pcr.gaussian_splat_spec("v", default_sigma_x=2.0,
+                                    default_sigma_y=0.8,
+                                    default_rotation=0.6,
+                                    max_radius_cells=7.0),
+            pcr.line_splat_spec("v", direction_channel="dir",
+                                half_length_channel="hl",
+                                max_radius_cells=8.0),
+        ]
+        assert_parity(specs, [self._cloud()], gc)
+
+    def test_tiled_at_utm_offsets(self):
+        gc = self._grid(tile=256)
+        assert gc.total_tiles() > 1
+        specs = [pcr.gaussian_splat_spec("v", default_sigma=2.0,
+                                         max_radius_cells=8.0)]
+        assert_parity(specs, [self._cloud()], gc)

@@ -80,8 +80,14 @@ def main():
     ap.add_argument("--points", type=int, default=2_000_000)
     ap.add_argument("--grid", type=int, default=1024)
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--glyphs", nargs="+", default=["point", "gauss"],
-                    choices=["point", "gauss", "line"])
+    ap.add_argument("--glyphs", nargs="+",
+                    default=["point", "gauss", "max", "gauss_tiled"],
+                    choices=["point", "gauss", "line", "max",
+                             "point_tiled", "gauss_tiled", "max_tiled"])
+    ap.add_argument("--tile", type=int, default=256,
+                    help="tile size for the *_tiled configs (multi-tile "
+                         "grids route to the partitioned per-shard "
+                         "engines; round 5)")
     ap.add_argument("--csv", default="")
     args = ap.parse_args()
 
@@ -91,26 +97,46 @@ def main():
     print(f"{n_total} devices ({jax.devices()[0].platform}); "
           f"ladder {ladder}")
 
-    bbox = pcr.BBox()
-    bbox.min_x, bbox.min_y = 0.0, 0.0
-    bbox.max_x = bbox.max_y = float(args.grid)
-    gc = pcr.GridConfig()
-    gc.bounds = bbox
-    gc.cell_size_x, gc.cell_size_y = 1.0, -1.0
-    gc.crs = pcr.CRS.from_epsg(3857)
-    gc.compute_dimensions()
+    def make_grid(tile):
+        bbox = pcr.BBox()
+        bbox.min_x, bbox.min_y = 0.0, 0.0
+        bbox.max_x = bbox.max_y = float(args.grid)
+        g = pcr.GridConfig()
+        g.bounds = bbox
+        g.cell_size_x, g.cell_size_y = 1.0, -1.0
+        if tile:
+            g.tile_width = g.tile_height = tile
+        g.crs = pcr.CRS.from_epsg(3857)
+        g.compute_dimensions()
+        return g
 
     rng = np.random.default_rng(11)
     cloud = make_cloud(args.points, float(args.grid), rng)
-    specs = {
-        "point": pcr.ReductionSpec(value_channel="value",
-                                   type=pcr.ReductionType.Average),
-        "gauss": pcr.gaussian_splat_spec("value", default_sigma=2.0),
-        "line": pcr.line_splat_spec("value", default_half_length=4.0),
+    avg = lambda: pcr.ReductionSpec(value_channel="value",
+                                    type=pcr.ReductionType.Average)
+    mx = lambda: pcr.ReductionSpec(value_channel="value",
+                                   type=pcr.ReductionType.Max)
+    # name -> (spec factory, tile size; 0 = untiled). The *_tiled rows
+    # exercise the partitioned per-shard engines, `max` the packed
+    # flat-scatter fast path with kind-aware dp merge (round 5).
+    configs = {
+        "point": (avg, 0),
+        "gauss": (lambda: pcr.gaussian_splat_spec(
+            "value", default_sigma=2.0), 0),
+        "line": (lambda: pcr.line_splat_spec(
+            "value", default_half_length=4.0), 0),
+        "max": (mx, 0),
+        "point_tiled": (avg, args.tile),
+        "max_tiled": (mx, args.tile),
+        "gauss_tiled": (lambda: pcr.gaussian_splat_spec(
+            "value", default_sigma=2.0), args.tile),
     }
 
     rows = []
     for glyph in args.glyphs:
+        spec_fn, tile = configs[glyph]
+        gc = make_grid(tile)
+        specs = {glyph: spec_fn()}
         # per-chip overhead: the sharded engine on a 1-device mesh vs the
         # single-chip TpuEngine, same work — the fraction of single-chip
         # throughput each mesh chip retains (VERDICT r3 task 6 bar: >=0.7)

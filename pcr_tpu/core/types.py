@@ -405,47 +405,71 @@ def _tpu_devices():
     cuda_device_available, types.h:156-219, can never hang). Degraded
     windows are worse: jax.devices() answers but synchronous fetches
     stall for minutes, so the probe also does a tiny device round-trip
-    before declaring the accelerator usable. The probe runs in a daemon
-    thread and gives up after PCR_TPU_PROBE_TIMEOUT seconds (default 30
-    — first contact over a healthy tunnel, incl. backend init and a
-    1 KB round-trip, is well under that); a timed-out probe reports "no
-    device" and is never retried in this process. The abandoned thread
-    parks on the backend lock, which is safe in the fallback regime: the
-    numpy CPU backend makes no further JAX calls."""
+    before declaring the accelerator usable.
+
+    The probe runs in a bounded SUBPROCESS (PCR_TPU_PROBE_TIMEOUT,
+    default 30 s — first contact over a healthy tunnel, incl. backend
+    init and a 1 KB round-trip, is well under that): a timed-out
+    subprocess is killed cleanly, whereas an abandoned in-process probe
+    thread parked inside the plugin's C API turns interpreter exit into
+    a SIGABRT ("terminate called ... FATAL: exception not rethrown").
+    Only after the subprocess reports healthy does this process
+    initialize the backend itself. A timed-out probe reports "no
+    device" and is never retried in this process."""
     if _TPU_PROBE["done"]:
         return _TPU_PROBE["devices"]
-    import threading
+    import subprocess
+    import sys
 
-    def probe():
-        if os.environ.get("PCR_TEST_PROBE_HANG") == "1":
-            # Test hook: simulate a wedged tunnel (thread never answers).
-            import time as _time
-            _time.sleep(3600)
-        import jax
-        import numpy as _np
+    # Mirror the parent's effective platform selection: the environment's
+    # site config pins jax_platforms, and tests override it via
+    # jax.config.update (env vars alone do not propagate that).
+    plat = None
+    jx = sys.modules.get("jax")
+    if jx is not None:
         try:
-            devs = [d for d in jax.devices()
-                    if d.platform not in ("cpu",)]
-            if devs:
-                # Functional round-trip: a degraded tunnel lists devices
-                # fine but stalls fetches; treat that as unavailable too.
-                buf = jax.device_put(_np.ones(256, _np.float32), devs[0])
-                _np.asarray(buf)
+            plat = jx.config.jax_platforms
         except Exception:
-            devs = []
-        _TPU_PROBE["devices"] = devs
-
+            plat = None
+    lines = [
+        "import os, time",
+        "if os.environ.get('PCR_TEST_PROBE_HANG') == '1': time.sleep(3600)",
+        "import numpy as np, jax",
+    ]
+    if plat:
+        lines.append(f"jax.config.update('jax_platforms', {plat!r})")
+    lines += [
+        "ds = [d for d in jax.devices() if d.platform != 'cpu']",
+        "assert ds",
+        # Functional round-trip: a degraded tunnel lists devices fine
+        # but stalls fetches; treat that as unavailable too.
+        "buf = jax.device_put(np.ones(256, np.float32), ds[0])",
+        "np.asarray(buf)",
+        "print('ok')",
+    ]
     timeout = float(os.environ.get("PCR_TPU_PROBE_TIMEOUT", "30"))
-    t = threading.Thread(target=probe, daemon=True,
-                         name="pcr-tpu-probe")
-    t.start()
-    t.join(timeout)
-    if t.is_alive():
+    healthy = False
+    try:
+        r = subprocess.run([sys.executable, "-c", "\n".join(lines)],
+                           capture_output=True, timeout=timeout,
+                           text=True)
+        healthy = r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
         warnings.warn(
-            "pcr_tpu: accelerator probe (jax.devices) did not answer in "
+            "pcr_tpu: accelerator probe did not answer in "
             f"{timeout:.0f}s — treating the device as unavailable "
             "(tune with PCR_TPU_PROBE_TIMEOUT)")
-        _TPU_PROBE["devices"] = []
+    except Exception:
+        pass
+    devs = []
+    if healthy:
+        try:
+            import jax
+            devs = [d for d in jax.devices()
+                    if d.platform not in ("cpu",)]
+        except Exception:
+            devs = []
+    _TPU_PROBE["devices"] = devs
     _TPU_PROBE["done"] = True
     return _TPU_PROBE["devices"]
 

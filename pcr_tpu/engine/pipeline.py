@@ -247,9 +247,11 @@ class Pipeline:
     @staticmethod
     def _resolve_backend(config: PipelineConfig) -> str:
         mode = ExecutionMode(config.exec_mode)
-        accel = tpu_device_available() or _force_jax()
         if mode == ExecutionMode.CPU:
+            # never probe the accelerator for a pure-CPU pipeline (a
+            # wedged tunnel would stall create by the probe timeout)
             return "cpu"
+        accel = tpu_device_available() or _force_jax()
         if mode == ExecutionMode.Auto:
             return "jax" if accel else "cpu"
         # GPU / Hybrid: the fallback ladder (reference: pipeline.cpp:113-214)

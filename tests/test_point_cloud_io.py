@@ -289,3 +289,81 @@ class TestLasWriter:
         open(path, "wb").write(b"LASF" + b"\x00" * 100)
         with pytest.raises(pcr.PcrError, match="laspy"):
             read_point_cloud(path)
+
+
+class TestExternalLasFixture:
+    """Committed LAS 1.2 fixture written by an INDEPENDENT byte-level
+    generator (tests/data/make_las_fixture.py — pure struct/numpy
+    following the ASPRS spec, not this library's writer), the stand-in
+    for a real public-domain tile in this zero-egress environment
+    (reference system test: scripts/data/test_dc_lidar.py:57-103).
+    VERDICT r4 #9."""
+
+    @staticmethod
+    def _fixture():
+        import sys
+        here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data")
+        sys.path.insert(0, here)
+        try:
+            from make_las_fixture import ground_truth
+        finally:
+            sys.path.pop(0)
+        return (os.path.join(here, "external_tile_las12_pf1.las"),
+                ground_truth())
+
+    def test_reads_exact_world_coordinates(self):
+        path, g = self._fixture()
+        c = read_point_cloud(path)
+        assert c.count() == len(g["x"])
+        # 0.01 m scale at UTM-scale offsets: descale must happen in f64
+        np.testing.assert_array_equal(c.x_array(), g["x"])
+        np.testing.assert_array_equal(c.y_array(), g["y"])
+        np.testing.assert_array_equal(
+            c.channel_array_f32("intensity"),
+            g["intensity"].astype(np.float32))
+        np.testing.assert_array_equal(
+            c.channel_array_f32("classification"),
+            g["classification"].astype(np.float32))
+        np.testing.assert_array_equal(
+            c.channel_array_f32("z"),
+            (g["z"]).astype(np.float32))
+
+    def test_pipeline_over_fixture_matches_numpy_oracle(self):
+        """End-to-end: rasterize the fixture's intensity (Average, 10 m
+        cells) and compare to a direct numpy binned oracle computed from
+        the generator's ground truth."""
+        path, g = self._fixture()
+        c = read_point_cloud(path)
+        bbox = pcr.BBox()
+        bbox.min_x, bbox.min_y = 389_000.0, 4_306_000.0
+        bbox.max_x, bbox.max_y = 390_000.0, 4_307_000.0
+        gc = pcr.GridConfig()
+        gc.bounds = bbox
+        gc.cell_size_x, gc.cell_size_y = 10.0, -10.0
+        gc.crs = pcr.CRS.from_epsg(32110)
+        gc.compute_dimensions()
+        cfg = pcr.PipelineConfig()
+        cfg.grid = gc
+        cfg.reductions = [pcr.ReductionSpec(value_channel="intensity",
+                                            type=pcr.ReductionType.Average)]
+        cfg.exec_mode = pcr.ExecutionMode.CPU
+        p = pcr.Pipeline.create(cfg)
+        p.ingest(c)
+        p.finalize()
+        got = p.result().band_array(0)
+
+        col = np.clip(np.floor((g["x"] - bbox.min_x) / 10.0), 0,
+                      gc.width - 1).astype(int)
+        row = np.clip(np.floor((g["y"] - bbox.max_y) / -10.0), 0,
+                      gc.height - 1).astype(int)
+        s = np.zeros((gc.height, gc.width))
+        n = np.zeros((gc.height, gc.width))
+        np.add.at(s, (row, col), g["intensity"].astype(np.float64))
+        np.add.at(n, (row, col), 1.0)
+        with np.errstate(invalid="ignore"):
+            want = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+        m = ~np.isnan(want)
+        assert (np.isnan(got) == np.isnan(want)).all()
+        # intensity values up to 65535 averaged in f32: allow f32 eps
+        assert np.abs(got[m] - want[m]).max() <= 1e-2

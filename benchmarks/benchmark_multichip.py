@@ -132,22 +132,32 @@ def main():
             "value", default_sigma=2.0), args.tile),
     }
 
+    # Point-family walls are ~15-40 ms at 500k on this host — scheduler
+    # noise swings the per-chip fraction by tens of points — so the
+    # overhead comparison uses a larger cloud for them (glyph configs
+    # are compute-bound and already stable at the ladder size).
+    ov_points = {"point": 4, "max": 4, "point_tiled": 4, "max_tiled": 4}
+
     rows = []
     for glyph in args.glyphs:
         spec_fn, tile = configs[glyph]
         gc = make_grid(tile)
         specs = {glyph: spec_fn()}
+        ov_n = args.points * ov_points.get(glyph, 1)
+        ov_cloud = (cloud if ov_n == args.points
+                    else make_cloud(ov_n, float(args.grid),
+                                    np.random.default_rng(12)))
         # per-chip overhead: the sharded engine on a 1-device mesh vs the
         # single-chip TpuEngine, same work — the fraction of single-chip
         # throughput each mesh chip retains (VERDICT r3 task 6 bar: >=0.7)
-        w_single = run_config(gc, cloud, specs[glyph], 1, 1, 1,
+        w_single = run_config(gc, ov_cloud, specs[glyph], 1, 1, 1,
                               args.repeats)
-        w_mesh1 = run_config(gc, cloud, specs[glyph], 1, 1, 1,
+        w_mesh1 = run_config(gc, ov_cloud, specs[glyph], 1, 1, 1,
                              args.repeats, force_mesh=True)
         frac = w_single / w_mesh1
         rows.append({"glyph": glyph, "devices": 1, "dp": 1, "sp": 1,
                      "wall_s": round(w_mesh1, 3),
-                     "mpts_per_s": round(args.points / w_mesh1 / 1e6, 2),
+                     "mpts_per_s": round(ov_n / w_mesh1 / 1e6, 2),
                      "speedup": "",
                      "parallel_efficiency": "",
                      "per_chip_vs_single": round(frac, 3)})
@@ -175,10 +185,19 @@ def main():
                   f"speedup {base / wall:5.2f}  eff {eff:4.2f}", flush=True)
 
     if args.csv:
+        # merge per glyph: re-running a subset replaces only its rows
+        # (keyed by glyph name), keeping the rest of the record intact
+        merged = []
+        if os.path.exists(args.csv):
+            with open(args.csv, newline="") as fh:
+                ran = {r["glyph"] for r in rows}
+                merged = [r for r in csv.DictReader(fh)
+                          if r.get("glyph") not in ran]
+        merged.extend(rows)
         with open(args.csv, "w", newline="") as fh:
             w = csv.DictWriter(fh, fieldnames=list(rows[0]))
             w.writeheader()
-            w.writerows(rows)
+            w.writerows(merged)
         print(f"wrote {args.csv}")
 
 

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-N = 5_000_000
+N = int(os.environ.get("PCR_BENCH_N", 5_000_000))
 
 
 def main():

@@ -336,9 +336,13 @@ class ShardedTpuEngine:
         sh = NamedSharding(self.mesh, P("dp", "sp", None))
         staged = []
         for j in range(nchunks):
-            buf = np.stack([
-                np.stack([cells[d][s][j].buf for s in range(self.sp)])
-                for d in range(self.dp)])
+            if self.dp == 1 and self.sp == 1:
+                # no-copy view; device_put copies anyway
+                buf = np.asarray(cells[0][0][j].buf)[None, None, :]
+            else:
+                buf = np.stack([
+                    np.stack([cells[d][s][j].buf for s in range(self.sp)])
+                    for d in range(self.dp)])
             staged.append(_StagedPacked(
                 ("packed", spec_idx) + keys0[j],
                 jax.device_put(buf, sh),
@@ -476,20 +480,41 @@ class ShardedTpuEngine:
         return sharding.shard_points(self.mesh, *arrays)
 
     def prepare_point(self, spec_idx: int, cells, valid, values,
-                      weights=None, timestamps=None):
+                      weights=None, timestamps=None, wire_cheap=False,
+                      col=None, row=None):
         _, info = self.plans[spec_idx]
-        n = len(cells)
-        cells = np.asarray(cells, np.int64)
         valid = np.asarray(valid, bool)
         values = np.asarray(values, np.float32)
-        rows = (cells // self.W).astype(np.int32)
-        cols = (cells % self.W).astype(np.int32)
+        if col is not None:
+            n = len(col)
+            rows = np.asarray(row, np.int32)
+            cols = np.asarray(col, np.int32)
+        else:
+            n = len(cells)
+            cells = np.asarray(cells, np.int64)
+            rows = (cells // self.W).astype(np.int32)
+            cols = (cells % self.W).astype(np.int32)
         if self._fast and info.scatter_kind == "sum":
             # host-route each point to its owning sp shard; per-cell
             # packed [cells|f0|(f1)] chunks run the single-chip
             # grid-scatter update in local coordinates
             w = (np.asarray(weights, np.float32)
                  if weights is not None else None)
+            if self.sp * self.dp == 1:
+                # trivial mesh: skip the routing/gather/pad copies (the
+                # wire-cheap planner path masks invalids itself, and the
+                # col/row form engages the native fused pack)
+                def prepare_one(planner, s, d):
+                    if col is not None:
+                        return planner.prepare_point(
+                            spec_idx, None, valid, values, w, None,
+                            wire_cheap=True, col=cols, row=rows)
+                    return planner.prepare_point(
+                        spec_idx, cells.astype(np.int32, copy=False),
+                        valid, values, w, None, wire_cheap=True)
+
+                return self._stack(spec_idx, prepare_one,
+                                   int(np.count_nonzero(valid)))
             routed = self._route(rows, rows, valid)
             lmax = max((len(routed[s][d]) for s in range(self.sp)
                         for d in range(self.dp)), default=0)
@@ -524,6 +549,28 @@ class ShardedTpuEngine:
             ts = (np.asarray(timestamps, np.float32)
                   if timestamps is not None else None)
             lhp, ws = self.local_h_pad, self.W_state
+            if self.sp * self.dp == 1:
+                # trivial mesh: no routing/gather/pad copies — the
+                # planner's sentinel handles invalids, and the flat
+                # layout only changes when the padded width differs
+                flat = (cells if ws == self.W and col is None
+                        else rows.astype(np.int64) * ws + cols)
+                self._flat_C_override = lhp * ws
+
+                def prepare_one(planner, s, d):
+                    chunks = planner.prepare_point(
+                        spec_idx, flat.astype(np.int32, copy=False),
+                        valid, values, w, ts)
+                    return [type(c)(c.key, c.buf,
+                                    _flat_state_builder(c.builder, lhp,
+                                                        ws),
+                                    c.npoints) for c in chunks]
+
+                try:
+                    return self._stack(spec_idx, prepare_one,
+                                       int(np.count_nonzero(valid)))
+                finally:
+                    self._flat_C_override = None
             routed = self._route(rows, rows, valid)
             lmax = max((len(routed[s][d]) for s in range(self.sp)
                         for d in range(self.dp)), default=0)

@@ -201,6 +201,35 @@ def test_memory_budget_with_mesh_raises_typed_error():
     assert "mesh" in str(ei.value)
 
 
+def test_multi_tile_staged_ingest_matches_cpu():
+    """stage() → repeated ingest through the partitioned engine."""
+    gc = make_grid_config(tile=32)
+    specs = [ReductionSpec(value_channel="v", type=RT.Sum)]
+    cloud = make_cloud(3000, seed=25)
+    want_once = run_pipeline(cpu_config(gc, specs), [cloud])
+    p = Pipeline.create(mesh_config(gc, specs))
+    staged = p.stage(cloud)
+    p.ingest(staged)
+    p.ingest(staged)          # staged chunks are reusable
+    p.finalize()
+    got = p.result().band_array(0)
+    want = want_once.band_array(0) * 2.0
+    m = ~np.isnan(want)
+    assert (np.isnan(got) == np.isnan(want)).all()
+    np.testing.assert_allclose(got[m], want[m], atol=2e-5)
+
+
+def test_more_devices_than_rows():
+    """Tiny grid, 8 devices: shard count clamps to the row count."""
+    gc = make_grid_config(w=64.0, h=5.0, tile=2)
+    assert gc.total_tiles() > 1
+    specs = [ReductionSpec(value_channel="v", type=RT.Average)]
+    clouds = [make_cloud(500, seed=26, w=64.0, h=5.0)]
+    want = run_pipeline(cpu_config(gc, specs), clouds)
+    got = run_pipeline(mesh_config(gc, specs), clouds)
+    assert_bands_match(got, want, 1)
+
+
 def test_multi_tile_resume_roundtrip(tmp_path):
     """Checkpoint/resume through the partitioned engine."""
     gc = make_grid_config(tile=32)

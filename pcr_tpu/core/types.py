@@ -421,11 +421,29 @@ def _tpu_devices():
     import subprocess
     import sys
 
+    jx = sys.modules.get("jax")
+    # If THIS process already initialized a backend (benchmarks and the
+    # staged paths touch jax before creating a Pipeline), enumerate it
+    # directly: the client exists, so jax.devices() is a lookup, and a
+    # probe subprocess would open a SECOND tunnel connection that
+    # contends with the live one (observed: healthy parent, probe
+    # timeout, spurious CPU fallback).
+    if jx is not None and os.environ.get("PCR_TEST_PROBE_HANG") != "1":
+        try:
+            from jax._src import xla_bridge as _xb
+            if getattr(_xb, "_backends", None):
+                devs = [d for d in jx.devices()
+                        if d.platform not in ("cpu",)]
+                _TPU_PROBE["devices"] = devs
+                _TPU_PROBE["done"] = True
+                return devs
+        except Exception:
+            pass
+
     # Mirror the parent's effective platform selection: the environment's
     # site config pins jax_platforms, and tests override it via
     # jax.config.update (env vars alone do not propagate that).
     plat = None
-    jx = sys.modules.get("jax")
     if jx is not None:
         try:
             plat = jx.config.jax_platforms

@@ -818,7 +818,7 @@ class Pipeline:
                     wire_cheap=True)
                 self._engine.commit(i, staged)
             return
-        if not hybrid or n <= CHUNK_BUCKETS[-1]:
+        if not hybrid or n <= CHUNK_BUCKETS[2]:
             staged = self._prepare_jax(i, spec, info, gt, cloud, x, y, col,
                                        row, valid, values, weights,
                                        timestamps, wire_cheap=True)
@@ -844,7 +844,19 @@ class Pipeline:
                 timestamps[sl] if timestamps is not None else None,
                 wire_cheap=True)
 
-        ranges = chunk_ranges(n)
+        # Mid-size clouds (one ladder bucket) used to ship as a single
+        # chunk, serializing the whole upload before ANY device work;
+        # splitting in two lets chunk k's device work hide under chunk
+        # k+1's wire (round 5, the 1M hybrid-efficiency item — the tail
+        # chunk's compute is the only part left exposed). Gaussians are
+        # exempt: their device expand/sort amortizes poorly below ~1M
+        # entries per chunk (measured 48.9 -> 41.3 % of the wire ceiling
+        # when fragmented), and the splat cost the split would hide is
+        # small beside the sort it fragments.
+        cap = (-(-n // 2)
+               if n <= CHUNK_BUCKETS[-1] and gt != GlyphType.Gaussian
+               else None)
+        ranges = chunk_ranges(n, cap)
         workers = int(self.config.hybrid_cpu_threads)
         if workers <= 0:
             workers = 2 if (os.cpu_count() or 1) >= 4 else 1

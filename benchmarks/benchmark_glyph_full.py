@@ -196,11 +196,24 @@ def main():
                           f"best {best:8.3f}s  {mpts:8.2f} Mpts/s{extra}",
                           flush=True)
 
+    header = ["glyph", "points", "mode", "best_seconds", "mpts_per_s",
+              "wire_ceiling_mpts", "pct_of_wire_ceiling"]
+    # merge keyed by (glyph, points, mode): a partial re-run (e.g. the
+    # 1M rows after a link-degraded window) replaces only its own rows
+    merged = []
+    if os.path.exists(args.csv):
+        ran = {(r[0], str(r[1]), r[2]) for r in rows}
+        with open(args.csv, newline="") as f:
+            rd = csv.reader(f)
+            next(rd, None)
+            merged = [r for r in rd
+                      if (r[0], r[1], r[2]) not in ran]
+    merged.extend([list(map(str, r)) for r in rows])
+    merged.sort(key=lambda r: (int(r[1]), header[0] != r[0]))
     with open(args.csv, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["glyph", "points", "mode", "best_seconds", "mpts_per_s",
-                    "wire_ceiling_mpts", "pct_of_wire_ceiling"])
-        w.writerows(rows)
+        w.writerow(header)
+        w.writerows(merged)
     print(f"\nwrote {args.csv}  "
           f"(total {time.perf_counter() - bench_start:.0f}s)")
 

@@ -72,7 +72,11 @@ def main():
                 sync()
                 bacc = min(bacc, (time.perf_counter() - t0) / K)
             rate = N / bacc / 1e6
-            results[f"s{sigma:g}_th{th}"] = round(rate, 2)
+            # non-default column routing (PCR_GAUSS_NARROW_MAX) gets its
+            # own key so a wide-tile sweep can't clobber the narrow rows
+            wt_tag = ("_wide" if os.environ.get("PCR_GAUSS_NARROW_MAX")
+                      == "0" else "")
+            results[f"s{sigma:g}_th{th}{wt_tag}"] = round(rate, 2)
             print(f"sigma={sigma:<4g} TH={th:<4d} acc {bacc*1e3:6.1f} ms  "
                   f"{rate:6.2f} Mpts/s", flush=True)
     os.environ.pop("PCR_GAUSS_TH", None)

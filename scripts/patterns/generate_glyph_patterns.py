@@ -86,6 +86,10 @@ class Ctx:
         cfg.grid = gc
         cfg.reductions = [spec]
         cfg.exec_mode = self.exec_mode
+        if self.mode_name == "tpu":
+            # parity evidence must not silently degrade to the CPU
+            # oracle (0.0-diff "parity" proves nothing) — fail instead
+            cfg.gpu_require_strict = True
         if tif_name:
             cfg.output_path = os.path.join(
                 self.out_dir, f"{tif_name}_{self.mode_name}.tif")

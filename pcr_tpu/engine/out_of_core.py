@@ -140,7 +140,10 @@ class OutOfCoreTpuEngine:
 
     def fetch_state(self, spec_idx: int):
         self._flush_cur()
-        return [f.copy() for f in self._host[spec_idx]]
+        from .tpu_backend import gauss_state_flush
+        spec, info = self.plans[spec_idx]
+        return gauss_state_flush(
+            spec, info, [f.copy() for f in self._host[spec_idx]], np)
 
     def load_state(self, spec_idx: int, fields_hw) -> None:
         self._flush_cur()
@@ -150,9 +153,11 @@ class OutOfCoreTpuEngine:
 
     def finalize_band(self, spec_idx: int) -> np.ndarray:
         self._flush_cur()
-        _, info = self.plans[spec_idx]
+        from .tpu_backend import gauss_state_flush
+        spec, info = self.plans[spec_idx]
         return np.asarray(
-            info.finalize_arrays(list(self._host[spec_idx])),
+            info.finalize_arrays(gauss_state_flush(
+                spec, info, list(self._host[spec_idx]), np)),
             dtype=np.float32)
 
     def block_until_ready(self):

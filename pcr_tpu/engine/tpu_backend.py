@@ -311,6 +311,36 @@ def _build_point_update_grid(info: ReductionInfo, H_pad: int, W_state: int,
     return update
 
 
+# Legit separable-splat deposits all carry weight >= 1e-6 (the
+# reference's product cutoff, glyph_kernels.cu:160); anything below half
+# of that in a Gaussian weight-sum field is a corr-cancellation residue
+# (the exact-cancellation pass relies on bitwise-identical factor bits
+# between the main and corr rows, and XLA's rounding occasionally
+# differs — observed on chip: 3 cells per 500^2 sigma=1 scene painting
+# 0.0 where the oracle says empty, round 5).
+GAUSS_WMIN = np.float32(5e-7)
+
+
+def gauss_state_flush(spec, info, fields, xp):
+    """Zero sub-cutoff Gaussian weight sums (and their value sums) so the
+    empty-cell NaN footprint is exact. Point/Line specs and Sum states
+    pass through: user weight channels may legitimately be tiny, Line
+    weights are >= 1, and Sum cells inside touched tiles are 0.0-filled
+    rather than NaN (reference per-tile finalize semantics)."""
+    from .glyph import GlyphType
+    if GlyphType(spec.glyph.type) != GlyphType.Gaussian:
+        return fields
+    rtype = ReductionType(info.type)
+    zero = xp.float32(0.0)
+    if rtype in (ReductionType.Average, ReductionType.WeightedAverage):
+        keep = fields[1] >= GAUSS_WMIN
+        return [xp.where(keep, f, zero) for f in fields]
+    if rtype == ReductionType.Count:
+        keep = fields[0] >= GAUSS_WMIN
+        return [xp.where(keep, fields[0], zero)]
+    return fields
+
+
 def _glyph_nf(info: ReductionInfo):
     rtype = ReductionType(info.type)
     nf = 2 if rtype in (ReductionType.WeightedAverage,
@@ -833,22 +863,27 @@ class TpuEngine:
     def fetch_state(self, spec_idx: int):
         """Download state to host as a list of (H, W) float32 arrays."""
         self.flush_pending(spec_idx)
+        spec, info = self.plans[spec_idx]
         if self._grid_shaped[spec_idx]:
-            return [np.asarray(f)[: self.H, : self.W]
-                    for f in self._states[spec_idx]]
-        return [np.asarray(f).reshape(self.H, self.W)
-                for f in self._states[spec_idx]]
+            fields = [np.asarray(f)[: self.H, : self.W]
+                      for f in self._states[spec_idx]]
+        else:
+            fields = [np.asarray(f).reshape(self.H, self.W)
+                      for f in self._states[spec_idx]]
+        return gauss_state_flush(spec, info, fields, np)
 
     def finalize_band(self, spec_idx: int) -> np.ndarray:
         """Finalize on device, fetch only the single output band (halves the
         device→host traffic for 2-field states)."""
         import jax
         self.flush_pending(spec_idx)
-        _, info = self.plans[spec_idx]
+        spec, info = self.plans[spec_idx]
         key = ("finalize", spec_idx)
         fn = self._jits.get(key)
         if fn is None:
-            fn = jax.jit(lambda st: info.finalize_arrays(list(st)))
+            import jax.numpy as jnp
+            fn = jax.jit(lambda st: info.finalize_arrays(
+                gauss_state_flush(spec, info, list(st), jnp)))
             self._jits[key] = fn
         band = np.asarray(fn(self._states[spec_idx]))
         if self._grid_shaped[spec_idx]:
@@ -2099,7 +2134,7 @@ class TpuEngine:
         (reference flush_all+assemble is one pass too, pipeline.cpp:
         1154-1363)."""
         import jax
-        _, info = self.plans[spec_idx]
+        spec, info = self.plans[spec_idx]
         # per-chunk dispatches keep the finalize program's key independent
         # of the pending-chunk history (one cacheable program per
         # (spec, strip_rows, with_state) instead of one per chunk multiset)
@@ -2115,12 +2150,13 @@ class TpuEngine:
             C = self.C
 
             def combined(states):
+                flds = gauss_state_flush(spec, info, list(states), jnp)
                 if with_state:
                     planes = jnp.stack(
                         [(s[:H, :W] if grid_shaped
-                          else s[:C].reshape(H, W)) for s in states])
+                          else s[:C].reshape(H, W)) for s in flds])
                     return states, tuple(planes[:, a:b] for a, b in ranges)
-                band = info.finalize_arrays(list(states))
+                band = info.finalize_arrays(flds)
                 band = (band[:H, :W] if grid_shaped
                         else band[:C].reshape(H, W))
                 return states, tuple(band[a:b] for a, b in ranges)
@@ -2145,7 +2181,7 @@ class TpuEngine:
         ~4-5 RTTs where this is one."""
         import jax
         import jax.numpy as jnp
-        _, info = self.plans[spec_idx]
+        spec, info = self.plans[spec_idx]
         # per-chunk dispatches first: the packed-finalize program is then
         # one cacheable executable per (spec, with_state) regardless of
         # how the run's ingest happened to be chunked
@@ -2158,11 +2194,12 @@ class TpuEngine:
             C = self.C
 
             def combined(states):
+                flds = gauss_state_flush(spec, info, list(states), jnp)
                 if with_state:
                     planes = [(s[:H, :W] if grid_shaped
-                               else s[:C].reshape(H, W)) for s in states]
+                               else s[:C].reshape(H, W)) for s in flds]
                 else:
-                    band = info.finalize_arrays(list(states))
+                    band = info.finalize_arrays(flds)
                     planes = [band[:H, :W] if grid_shaped
                               else band[:C].reshape(H, W)]
                 return states, jnp.stack(planes)

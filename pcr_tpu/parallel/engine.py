@@ -457,15 +457,22 @@ class ShardedTpuEngine:
             : self.H]
 
     def fetch_state(self, spec_idx: int):
-        return [self._unpad(f) for f in self._states[spec_idx]]
+        from ..engine.tpu_backend import gauss_state_flush
+        spec, info = self.plans[spec_idx]
+        return gauss_state_flush(
+            spec, info,
+            [self._unpad(f) for f in self._states[spec_idx]], np)
 
     def finalize_band(self, spec_idx: int) -> np.ndarray:
         import jax
-        _, info = self.plans[spec_idx]
+        from ..engine.tpu_backend import gauss_state_flush
+        spec, info = self.plans[spec_idx]
         key = ("finalize", spec_idx)
         fn = self._jits.get(key)
         if fn is None:
-            fn = jax.jit(lambda st: info.finalize_arrays(list(st)))
+            import jax.numpy as jnp
+            fn = jax.jit(lambda st: info.finalize_arrays(
+                gauss_state_flush(spec, info, list(st), jnp)))
             self._jits[key] = fn
         return self._unpad(fn(self._states[spec_idx]))
 

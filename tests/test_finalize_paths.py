@@ -94,3 +94,36 @@ def test_streamed_state_multi_reduction(tmp_path, monkeypatch):
         np.testing.assert_array_equal(p.result().band_array(b),
                                       q.result().band_array(b))
     assert os.path.isdir(str(tmp_path / "st"))
+
+
+def test_gauss_corr_residue_flush():
+    """Sub-cutoff Gaussian weight-sum residues (the corr-cancellation
+    pass leaves +-1e-12-scale mass when XLA's factor rounding differs
+    between main and corr rows — observed on chip, round 5) must
+    finalize to the empty-cell NaN, while legit >=1e-6 deposits are
+    untouched. Covers finalize_band, the strips/packed programs (via
+    pipeline finalize), and fetch_state (PCRT checkpoints)."""
+    gc = make_grid_config(w=16.0, h=16.0)
+    spec = pcr.gaussian_splat_spec("v", default_sigma=1.0)
+    cfg = pcr.PipelineConfig(grid=gc, reductions=[spec],
+                             exec_mode=pcr.ExecutionMode.GPU)
+    p = pcr.Pipeline.create(cfg)
+    f0 = np.zeros((16, 16), np.float32)
+    f1 = np.zeros((16, 16), np.float32)
+    f1[2, 3] = 1e-12          # positive residue -> painted 0.0 w/o flush
+    f0[2, 3] = -3e-13
+    f1[5, 5] = 1e-6           # exactly the cutoff: legit, must survive
+    f0[5, 5] = 2e-6
+    f1[8, 8] = 0.5
+    f0[8, 8] = 1.0
+    p._engine.load_state(0, [f0, f1])
+    p._touched_tiles.add((0, 0))
+    p.finalize()
+    band = p.result().band_array(0)
+    assert np.isnan(band[2, 3])
+    assert band[5, 5] == np.float32(2e-6) / np.float32(1e-6)
+    assert band[8, 8] == np.float32(1.0) / np.float32(0.5)
+    # checkpoint path flushes too
+    st = p._engine.fetch_state(0)
+    assert st[1][2, 3] == 0.0 and st[0][2, 3] == 0.0
+    assert st[1][8, 8] == np.float32(0.5)

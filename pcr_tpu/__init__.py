@@ -60,6 +60,8 @@ from .ops.reduction import (
     ReductionInfo,
     get_reduction_info,
     registered_reductions,
+    register_custom_reduction,
+    unregister_reduction,
 )
 from .engine.filter import CompareOp, FilterPredicate, FilterSpec
 from .engine.glyph import GlyphType, GlyphSpec
@@ -214,6 +216,7 @@ __all__ = [
     "gaussian_splat_spec", "line_splat_spec",
     # Ops
     "ReductionOp", "ReductionInfo", "get_reduction_info", "registered_reductions",
+    "register_custom_reduction", "unregister_reduction",
     # I/O — GeoTIFF
     "GeoTiffOptions", "write_geotiff", "read_geotiff_info", "read_geotiff_band",
     "TiledGeoTiffWriter",

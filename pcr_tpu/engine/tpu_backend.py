@@ -828,6 +828,7 @@ class TpuEngine:
                                and self.pallas != "off")
                            or (glyph_t == GlyphType.Point
                                and info.scatter_kind == "sum"
+                               and info.builtin
                                and self._point_pallas))
             self._grid_shaped.append(grid_shaped)
             shape = ((self.H_pad, self.W_state) if grid_shaped
@@ -1278,7 +1279,7 @@ class TpuEngine:
         _, info = self.plans[spec_idx]
         n = len(cells) if cells is not None else len(col)
         wire_cheap = (wire_cheap and info.scatter_kind == "sum"
-                      and self._point_pallas
+                      and info.builtin and self._point_pallas
                       and os.environ.get("PCR_WIRE_CHEAP", "1") == "1")
         if wire_cheap:
             from .. import native
@@ -1325,7 +1326,8 @@ class TpuEngine:
         # 2-field Average on v5e): the Pallas one-hot matmul is limited to
         # HIGHEST precision by Mosaic's dot lowering (6-pass bf16) and lands
         # at ~28 Mpts/s. PCR_POINT_PALLAS=1 opts points into the kernel.
-        if info.scatter_kind == "sum" and self._point_pallas:
+        if info.scatter_kind == "sum" and info.builtin \
+                and self._point_pallas:
             block = min(block, PALLAS_BLOCK)   # bounded by scoped VMEM
             TH = GAUSS_ROW_BLOCK
             if col is None:

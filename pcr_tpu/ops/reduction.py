@@ -36,6 +36,7 @@ from ..core.types import ReductionType, Status
 __all__ = [
     "FLT_MAX", "ReductionOp", "ReductionInfo", "get_reduction_info",
     "registered_reductions", "is_registered",
+    "register_custom_reduction", "unregister_reduction",
 ]
 
 FLT_MAX = float(np.finfo(np.float32).max)
@@ -276,6 +277,11 @@ class ReductionInfo:
     # whether the op consumes a weight channel / timestamp channel
     uses_weight: bool = False
     uses_timestamp: bool = False
+    # False for user-registered Custom ops: the engines then skip the
+    # builtin-shaped fast paths (wire packs / Pallas one-hot layouts,
+    # whose field layouts are keyed to the builtin types) and run the
+    # generic kind-dispatched scatter, which consumes info.fields as-is
+    builtin: bool = True
 
     def init_state(self, shape) -> list[np.ndarray]:
         """Fresh state arrays (numpy, float32) of the given per-field shape,
@@ -379,6 +385,68 @@ def _register_collect(rtype):
 
 _register_collect(ReductionType.Median)
 _register_collect(ReductionType.Percentile)
+
+
+def register_custom_reduction(*, state_floats: int, identity,
+                              scatter_kind: str, fields,
+                              merge_arrays, finalize_arrays,
+                              uses_weight: bool = False,
+                              uses_timestamp: bool = False) -> None:
+    """Install a user-provided op as ``ReductionType.Custom``.
+
+    The TPU-native analogue of the reference's compile-time template
+    path (``Accumulator::accumulate<Op>``, accumulator.cpp:61-99; the
+    registry returns nullptr for Custom, reduction_registry.h:75): the
+    op is defined by its VECTORIZED plan and runs on every engine —
+    the numpy CPU oracle, the single-chip device scatter, and the mesh
+    engines (the merge collectives follow ``scatter_kind``).
+
+      state_floats     K state fields per cell
+      identity         K floats — the empty-cell state
+      scatter_kind     'sum'  (per-cell scatter-ADD of each field)
+                       'max' / 'min'  (K must be 1)
+                       'argmax_ts'    (K must be 2: (value, key); the
+                                       per-cell winner has the largest
+                                       key, earliest-wins on ties)
+      fields(values, weights, timestamps) -> list of K per-point arrays
+                       (must work on BOTH numpy and jax arrays — stick
+                       to operators and ufunc-style calls)
+      merge_arrays(a, b) -> list[K]   associative state merge
+      finalize_arrays(fields) -> array  per-cell output (NaN = empty)
+
+    Point glyph only (glyph splatting keeps the reference's restriction
+    to WeightedAverage/Average/Sum/Count, glyph_kernels.cu:298-305).
+    Call ``unregister_reduction(ReductionType.Custom)`` to remove."""
+    if scatter_kind not in ("sum", "max", "min", "argmax_ts"):
+        raise ValueError(f"unsupported scatter_kind {scatter_kind!r}")
+    if scatter_kind in ("max", "min") and state_floats != 1:
+        raise ValueError("max/min custom ops require state_floats == 1")
+    if scatter_kind == "argmax_ts" and state_floats != 2:
+        raise ValueError("argmax_ts custom ops require state_floats == 2")
+    ident = np.asarray(identity, dtype=np.float32).reshape(-1)
+    if len(ident) != state_floats:
+        raise ValueError("identity length must equal state_floats")
+    op = ReductionOp(ReductionType.Custom, state_floats, tuple(ident),
+                     lambda s, v, **kw: s, lambda a, b: a,
+                     lambda s: s[0])
+    _REGISTRY[ReductionType.Custom] = ReductionInfo(
+        type=ReductionType.Custom,
+        state_floats=state_floats,
+        op=op,
+        identity=ident,
+        scatter_kind=scatter_kind,
+        fields=fields,
+        merge_arrays=merge_arrays,
+        finalize_arrays=finalize_arrays,
+        uses_weight=uses_weight,
+        uses_timestamp=uses_timestamp,
+        builtin=False,
+    )
+
+
+def unregister_reduction(rtype: ReductionType) -> None:
+    """Remove a registration (only meaningful for Custom)."""
+    _REGISTRY.pop(ReductionType(rtype), None)
 
 
 def get_reduction_info(rtype: ReductionType) -> ReductionInfo | None:

@@ -501,7 +501,7 @@ class ShardedTpuEngine:
             cells = np.asarray(cells, np.int64)
             rows = (cells // self.W).astype(np.int32)
             cols = (cells % self.W).astype(np.int32)
-        if self._fast and info.scatter_kind == "sum":
+        if self._fast and info.scatter_kind == "sum" and info.builtin:
             # host-route each point to its owning sp shard; per-cell
             # packed [cells|f0|(f1)] chunks run the single-chip
             # grid-scatter update in local coordinates
@@ -542,8 +542,10 @@ class ShardedTpuEngine:
 
             return self._stack(spec_idx, prepare_one,
                                int(np.count_nonzero(valid)))
-        if self._fast and info.scatter_kind in ("max", "min", "argmax_ts"):
-            # Max/Min/MostRecent fast path: host-route each point to its
+        if self._fast and (info.scatter_kind in ("max", "min", "argmax_ts")
+                           or not info.builtin):
+            # Max/Min/MostRecent (and Custom ops of any kind) fast path:
+            # host-route each point to its
             # owning sp shard; per-cell packed [cells|values|(w)|(ts)]
             # chunks run the single-chip XLA scatter (incl. the 3-scatter
             # lexicographic argmax for MostRecent) on the shard's local

@@ -161,3 +161,85 @@ class TestFinalizeArrays:
         v, t = info.merge_arrays(a, b)
         assert v.tolist() == [1.0, 7.0]   # tie keeps a; higher ts wins
         assert t.tolist() == [5.0, 8.0]
+
+
+class TestCustomReduction:
+    """User-provided ops via register_custom_reduction — the TPU-native
+    analogue of the reference's compile-time template path
+    (Accumulator::accumulate<Op>, accumulator.cpp:61-99; the type-erased
+    registry returns nullptr for Custom, reduction_registry.h:75)."""
+
+    @staticmethod
+    def _register_sum_of_squares():
+        from pcr_tpu.ops.reduction import register_custom_reduction
+        register_custom_reduction(
+            state_floats=2,
+            identity=(0.0, 0.0),
+            scatter_kind="sum",
+            # (sum of v^2, count) -> RMS at finalize
+            fields=lambda v, w, t: [v * v, v * 0 + 1.0],
+            merge_arrays=lambda a, b: [a[0] + b[0], a[1] + b[1]],
+            finalize_arrays=lambda f: (f[0] / f[1]) ** 0.5,
+        )
+
+    def test_register_validates(self):
+        from pcr_tpu.ops.reduction import register_custom_reduction
+        with pytest.raises(ValueError):
+            register_custom_reduction(
+                state_floats=2, identity=(0.0, 0.0), scatter_kind="max",
+                fields=None, merge_arrays=None, finalize_arrays=None)
+        with pytest.raises(ValueError):
+            register_custom_reduction(
+                state_floats=1, identity=(0.0,), scatter_kind="bogus",
+                fields=None, merge_arrays=None, finalize_arrays=None)
+
+    def test_custom_rms_all_engines(self):
+        """RMS custom op: CPU oracle, JAX engine, and an 8-device mesh
+        all agree with the closed-form expectation."""
+        from pcr_tpu.ops.reduction import unregister_reduction
+        from conftest import make_grid_config
+        self._register_sum_of_squares()
+        try:
+            gc = make_grid_config(w=16.0, h=16.0)
+            rng = np.random.default_rng(3)
+            n = 4000
+            c = pcr.PointCloud.create(n)
+            x = rng.uniform(0, 16, n)
+            y = rng.uniform(0, 16, n)
+            c.set_x_array(x)
+            c.set_y_array(y)
+            c.add_channel("v", pcr.DataType.Float32)
+            vals = rng.normal(0, 2, n).astype(np.float32)
+            c.set_channel_array_f32("v", vals)
+
+            def run(**kw):
+                cfg = pcr.PipelineConfig(
+                    grid=gc,
+                    reductions=[pcr.ReductionSpec(value_channel="v",
+                                                  type=RT.Custom)],
+                    **kw)
+                p = pcr.Pipeline.create(cfg)
+                p.ingest(c)
+                p.finalize()
+                return p.result().band_array(0)
+
+            # closed-form oracle
+            col = np.clip(np.floor(x), 0, 15).astype(int)
+            row = np.clip(np.floor((y - 16.0) / -1.0), 0, 15).astype(int)
+            s = np.zeros((16, 16))
+            k = np.zeros((16, 16))
+            np.add.at(s, (row, col), (vals.astype(np.float64)) ** 2)
+            np.add.at(k, (row, col), 1.0)
+            want = np.where(k > 0, np.sqrt(s / np.maximum(k, 1)), np.nan)
+
+            for kw in (dict(exec_mode=pcr.ExecutionMode.CPU),
+                       dict(exec_mode=pcr.ExecutionMode.GPU),
+                       dict(exec_mode=pcr.ExecutionMode.GPU,
+                            mesh_devices=8, mesh_sp=2)):
+                got = run(**kw)
+                assert (np.isnan(got) == np.isnan(want)).all()
+                m = ~np.isnan(want)
+                np.testing.assert_allclose(got[m], want[m], atol=1e-4)
+        finally:
+            unregister_reduction(RT.Custom)
+        assert pcr.get_reduction_info(RT.Custom) is None

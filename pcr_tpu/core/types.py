@@ -421,24 +421,61 @@ def _tpu_devices():
     import subprocess
     import sys
 
+    timeout = float(os.environ.get("PCR_TPU_PROBE_TIMEOUT", "30"))
+
+    def bounded_inprocess(jx_mod, tmo):
+        """Enumerate + 1 KB round-trip IN THIS PROCESS, bounded by a
+        daemon thread: jax calls can block forever inside the plugin's
+        C API on a wedged tunnel, and a degraded window lists devices
+        fine but stalls fetches — the round-trip catches both. A timed-
+        out thread is abandoned (rare: the tunnel must wedge inside this
+        small window); the CPU-fallback regime makes no further JAX
+        calls from it."""
+        import threading
+        result = {}
+
+        def work():
+            try:
+                import numpy as _np
+                devs = [d for d in jx_mod.devices()
+                        if d.platform not in ("cpu",)]
+                if devs:
+                    buf = jx_mod.device_put(
+                        _np.ones(256, _np.float32), devs[0])
+                    _np.asarray(buf)
+                result["devices"] = devs
+            except Exception:
+                result["devices"] = []
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="pcr-tpu-inproc-probe")
+        t.start()
+        t.join(tmo)
+        if t.is_alive():
+            warnings.warn(
+                "pcr_tpu: in-process accelerator check did not answer "
+                f"in {tmo:.0f}s — treating the device as unavailable")
+            return []
+        return result.get("devices", [])
+
     jx = sys.modules.get("jax")
     # If THIS process already initialized a backend (benchmarks and the
-    # staged paths touch jax before creating a Pipeline), enumerate it
-    # directly: the client exists, so jax.devices() is a lookup, and a
+    # staged paths touch jax before creating a Pipeline), check it
+    # directly — bounded, WITH the functional round-trip — because a
     # probe subprocess would open a SECOND tunnel connection that
     # contends with the live one (observed: healthy parent, probe
     # timeout, spurious CPU fallback).
     if jx is not None and os.environ.get("PCR_TEST_PROBE_HANG") != "1":
         try:
             from jax._src import xla_bridge as _xb
-            if getattr(_xb, "_backends", None):
-                devs = [d for d in jx.devices()
-                        if d.platform not in ("cpu",)]
-                _TPU_PROBE["devices"] = devs
-                _TPU_PROBE["done"] = True
-                return devs
+            backend_live = bool(getattr(_xb, "_backends", None))
         except Exception:
-            pass
+            backend_live = False
+        if backend_live:
+            devs = bounded_inprocess(jx, timeout)
+            _TPU_PROBE["devices"] = devs
+            _TPU_PROBE["done"] = True
+            return devs
 
     # Mirror the parent's effective platform selection: the environment's
     # site config pins jax_platforms, and tests override it via
@@ -465,7 +502,6 @@ def _tpu_devices():
         "np.asarray(buf)",
         "print('ok')",
     ]
-    timeout = float(os.environ.get("PCR_TPU_PROBE_TIMEOUT", "30"))
     healthy = False
     try:
         r = subprocess.run([sys.executable, "-c", "\n".join(lines)],
@@ -481,10 +517,11 @@ def _tpu_devices():
         pass
     devs = []
     if healthy:
+        # First in-process backend init — still bounded: the tunnel can
+        # wedge between the probe subprocess exiting and this init.
         try:
             import jax
-            devs = [d for d in jax.devices()
-                    if d.platform not in ("cpu",)]
+            devs = bounded_inprocess(jax, timeout)
         except Exception:
             devs = []
     _TPU_PROBE["devices"] = devs

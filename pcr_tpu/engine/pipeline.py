@@ -202,13 +202,14 @@ class Pipeline:
         st = Pipeline._validate_config(config)
         if not st.ok():
             raise PcrError(st)
-        if config.cpu_threads:
-            # cap the native OpenMP kernels' thread count (reference:
-            # omp_set_num_threads, pipeline.cpp:94-98); results are
-            # thread-count-invariant (test_determinism), this only
-            # bounds CPU usage
-            from .. import native
-            native.set_num_threads(config.cpu_threads)
+        # Cap the native OpenMP kernels' thread count (reference:
+        # omp_set_num_threads, pipeline.cpp:94-98); results are
+        # thread-count-invariant (test_determinism), this only bounds
+        # CPU usage. The cap is process-global (as in the reference),
+        # so a default config (cpu_threads=0) RESTORES the runtime
+        # default rather than inheriting a previous pipeline's cap.
+        from .. import native
+        native.set_num_threads(config.cpu_threads or 0)
         backend = Pipeline._resolve_backend(config)
         p = Pipeline(config, backend)
         for spec in config.reductions:

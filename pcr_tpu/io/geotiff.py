@@ -187,9 +187,14 @@ def lzw_decode(data: bytes, legacy: bool = False) -> bytes:
         elif code < len(table):
             entry = table[code]
             table.append(prev + entry[:1])
-        else:
+        elif code == len(table):
             entry = prev + prev[:1]
             table.append(entry)
+        else:
+            # beyond KwKwK: not decodable under this width rule (a
+            # legacy-flavor stream desyncing, or corruption) — return
+            # short so _decompress can try the legacy rule
+            return bytes(out)
         out += entry
         prev = entry
         # Early change, lag-corrected: the decoder's table is one entry
@@ -233,9 +238,15 @@ def _decompress(data: bytes, comp_id: int, expected: int = 0) -> bytes:
         return zlib.decompress(data)
     if comp_id == COMP_LZW:
         from .. import native
+        out = None
         if native.available() and expected:
-            out = native.lzw_decode(data, expected)
-        else:
+            try:
+                out = native.lzw_decode(data, expected)
+            except RuntimeError:
+                # misparse (e.g. a legacy-flavor stream desyncing past a
+                # width boundary) — retry with the Python decoders below
+                out = None
+        if out is None:
             out = lzw_decode(data)
         if expected and len(out) < expected:
             # pre-round-5 flavor of this library's own writer (early

@@ -471,7 +471,10 @@ int64_t pcr_lzw_decode(const uint8_t* in, int64_t n,
                 ++table_n;
             }
         } else {
-            // KwKwK case
+            // KwKwK case; a code BEYOND the next entry is not decodable
+            // under this width rule (legacy-flavor stream or corruption)
+            // — fail so the caller can retry with the legacy decoder
+            if (code != table_n) return -1;
             int c = prev_code;
             while (prev[c] >= 0) c = prev[c];
             uint8_t first = last[c];

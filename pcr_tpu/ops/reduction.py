@@ -445,8 +445,13 @@ def register_custom_reduction(*, state_floats: int, identity,
 
 
 def unregister_reduction(rtype: ReductionType) -> None:
-    """Remove a registration (only meaningful for Custom)."""
-    _REGISTRY.pop(ReductionType(rtype), None)
+    """Remove a Custom registration. Builtin registrations happen once
+    at import and could not be reinstalled, so removing them is
+    rejected."""
+    if ReductionType(rtype) != ReductionType.Custom:
+        raise ValueError(
+            "only ReductionType.Custom can be unregistered")
+    _REGISTRY.pop(ReductionType.Custom, None)
 
 
 def get_reduction_info(rtype: ReductionType) -> ReductionInfo | None:

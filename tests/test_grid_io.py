@@ -263,3 +263,113 @@ class TestTiledWriter:
         writer = TiledGeoTiffWriter.open(str(tmp_path / "x.tif"), gc, ["a"])
         st = writer.write_tile(pcr.TileIndex(), np.zeros((2, 10, 10)), 2)
         assert not st.ok()
+
+
+def _legacy_lzw_encode(data: bytes) -> bytes:
+    """Replica of the pre-round-5 encoder rule (width bumps one step
+    early at every boundary)."""
+    out = bytearray()
+    bitbuf = nbits = 0
+    code_width = 9
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << code_width) | code
+        nbits += code_width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+        bitbuf &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << code_width) - 1:
+            if code_width < 12:
+                code_width += 1
+            else:
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                code_width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+class TestLegacyLzwFileFallback:
+    """A WHOLE FILE from the pre-round-5 writer must read back through
+    the production path (read_geotiff_band -> _decompress -> legacy
+    fallback), including with the native decoder present — it rejects
+    the desynced stream and the Python legacy rule recovers it."""
+
+    def test_legacy_file_reads_cell_exact(self, tmp_path):
+        import struct
+        rng = np.random.default_rng(8)
+        # big enough to cross the 9->10-bit width boundary
+        arr = rng.integers(0, 256, (60, 101), dtype=np.uint8)
+        payload = _legacy_lzw_encode(arr.tobytes())
+
+        def E(entries, tag, typ, count, val):
+            entries.append(struct.pack("<HHI4s", tag, typ, count, val))
+
+        entries = []
+        n = 9
+        data_off = 8 + 2 + n * 12 + 4
+        E(entries, 256, 3, 1, struct.pack("<I", 101))
+        E(entries, 257, 3, 1, struct.pack("<I", 60))
+        E(entries, 258, 3, 1, struct.pack("<I", 8))
+        E(entries, 259, 3, 1, struct.pack("<I", 5))       # LZW
+        E(entries, 262, 3, 1, struct.pack("<I", 1))
+        E(entries, 273, 4, 1, struct.pack("<I", data_off))
+        E(entries, 277, 3, 1, struct.pack("<I", 1))
+        E(entries, 278, 3, 1, struct.pack("<I", 60))
+        E(entries, 279, 4, 1, struct.pack("<I", len(payload)))
+        blob = (b"II*\x00" + struct.pack("<I", 8)
+                + struct.pack("<H", n) + b"".join(entries)
+                + struct.pack("<I", 0) + payload)
+        path = str(tmp_path / "legacy.tif")
+        with open(path, "wb") as f:
+            f.write(blob)
+        got = read_geotiff_band(path, 0)
+        np.testing.assert_array_equal(got, arr.astype(np.float32))
+
+
+class TestRegistryGuards:
+    def test_builtin_unregister_rejected(self):
+        from pcr_tpu.ops.reduction import unregister_reduction
+        with pytest.raises(ValueError):
+            unregister_reduction(pcr.ReductionType.Sum)
+        assert pcr.get_reduction_info(pcr.ReductionType.Sum) is not None
+
+
+class TestCpuThreadsRestore:
+    def test_default_config_restores_thread_default(self, monkeypatch):
+        from pcr_tpu import native
+        from conftest import make_grid_config
+        calls = []
+        monkeypatch.setattr(native, "set_num_threads",
+                            lambda n: calls.append(n))
+        gc = make_grid_config(w=10.0, h=10.0)
+        for nthreads in (2, 0):
+            cfg = pcr.PipelineConfig(
+                grid=gc,
+                reductions=[pcr.ReductionSpec(
+                    value_channel="v", type=pcr.ReductionType.Sum)],
+                exec_mode=pcr.ExecutionMode.CPU)
+            cfg.cpu_threads = nthreads
+            pcr.Pipeline.create(cfg)
+        assert calls == [2, 0]   # default config RESTORES, not inherits

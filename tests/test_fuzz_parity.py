@@ -105,3 +105,44 @@ def test_fuzz_filtered_pipeline(seed):
         if m.any():
             excess = np.abs(x[m] - y[m]) - (1e-5 + 1e-5 * np.abs(x[m]))
             assert float(excess.max()) <= 0, f"spec {i}"
+
+
+MESH_POINT_TYPES = POINT_TYPES + [RT.MostRecent]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_mesh_pipeline(seed):
+    """Round-5 fuzz over the MESH engines: random grid/tiling x spec mix
+    x (dp, sp) split, vs the CPU oracle. Single-tile grids exercise the
+    shard_map fast paths (incl. the Max/Min/MostRecent packed scatter
+    with kind-aware dp collectives); multi-tile grids exercise the
+    partitioned per-device engines with row-offset home-tile clips."""
+    rng = np.random.default_rng(3000 + seed)
+    w = float(rng.integers(40, 130))
+    h = float(rng.integers(40, 130))
+    tile = int(rng.choice([4096, 32, 48]))
+    gc = make_grid_config(w=w, h=h, tile=tile)
+    nspec = int(rng.integers(1, 4))
+    specs = []
+    for _ in range(nspec):
+        if rng.random() < 0.4:
+            t = MESH_POINT_TYPES[rng.integers(len(MESH_POINT_TYPES))]
+            if t == RT.MostRecent:
+                specs.append(pcr.ReductionSpec(
+                    value_channel="v", type=t, timestamp_channel="ts"))
+            else:
+                specs.append(pcr.ReductionSpec(value_channel="v", type=t))
+        else:
+            specs.append(random_spec(rng))
+    clouds = [fuzz_cloud(rng, w, h, int(rng.integers(800, 3000)))
+              for _ in range(int(rng.integers(1, 3)))]
+    dp, sp = [(1, 8), (2, 4), (4, 2), (8, 1)][seed % 4]
+    a = run_mode(pcr.ExecutionMode.CPU, specs, clouds, gc)
+    b = run_mode(pcr.ExecutionMode.GPU, specs, clouds, gc,
+                 mesh_devices=8, mesh_dp=dp, mesh_sp=sp)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert (np.isnan(x) == np.isnan(y)).all(), f"spec {i} NaN mismatch"
+        m = ~np.isnan(x)
+        if m.any():
+            excess = np.abs(x[m] - y[m]) - (2e-5 + 2e-5 * np.abs(x[m]))
+            assert float(excess.max()) <= 0, f"spec {i}"

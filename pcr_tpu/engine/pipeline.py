@@ -847,13 +847,15 @@ class Pipeline:
 
         # Mid-size clouds (one ladder bucket) used to ship as a single
         # chunk, serializing the whole upload before ANY device work;
-        # splitting in two lets chunk k's device work hide under chunk
-        # k+1's wire (round 5, the 1M hybrid-efficiency item — the tail
-        # chunk's compute is the only part left exposed). Gaussians are
-        # exempt: their device expand/sort amortizes poorly below ~1M
-        # entries per chunk (measured 48.9 -> 41.3 % of the wire ceiling
-        # when fragmented), and the splat cost the split would hide is
-        # small beside the sort it fragments.
+        # capping at ceil(n/2) makes chunk_ranges emit SUB-BUCKET chunks
+        # so chunk k's device work hides under chunk k+1's wire (round 5,
+        # the 1M hybrid-efficiency item). Note the ladder rounding: the
+        # cap steps DOWN to the next bucket (1M -> 4 x 262144, not 2
+        # halves), which keeps wire padding bucket-aligned — the
+        # measured +5-13pp gains are with exactly this behavior.
+        # Gaussians are exempt: their device expand/sort amortizes
+        # poorly below ~1M entries per chunk (measured 48.9 -> 41.3 % of
+        # the wire ceiling when fragmented).
         cap = (-(-n // 2)
                if n <= CHUNK_BUCKETS[-1] and gt != GlyphType.Gaussian
                else None)

@@ -794,7 +794,8 @@ class TpuEngine:
             float(cfg.cell_size_x), float(cfg.cell_size_y),
             (float(b.min_x), float(b.min_y),
              float(b.max_x), float(b.max_y)) if b is not None else None,
-            tuple((spec.glyph.type, info.type, info.state_floats)
+            tuple((spec.glyph.type, info.type, info.state_floats,
+                   info.scatter_kind, info.token)
                   for spec, info in plans),
             self.pallas, self.H_pad, self.W_state, self._point_pallas,
             # row-offset shard views (parallel.engine._LocalCfg) bake the
@@ -1841,11 +1842,19 @@ class TpuEngine:
             whi = np.minimum(whi, np.minimum(cs + tw - 1, W1))
             rlo = np.maximum(rlo, rs - off)
             rhi = np.minimum(rhi, np.minimum(rs + th_t - 1, Hg1) - off)
-        # invalid points carry an empty window (one dead copy in block 0)
-        wlo = np.where(valid, wlo, 1).astype(np.float32)
-        whi = np.where(valid, whi, 0).astype(np.float32)
-        rlo = np.where(valid, rlo, 0).astype(np.float32)
-        rhi = np.where(valid, rhi, 0).astype(np.float32)
+        # Dead windows take the empty-column convention (one dead copy in
+        # block 0): invalid points, AND windows the home-tile clip pushed
+        # entirely outside this view's rows — under a row-offset shard
+        # view a straddler's home tile can start at/after the shard end,
+        # leaving rlo >= H (an unclamped rlo would index past the rotp
+        # bucketing histogram: native OOB write / numpy reshape crash,
+        # round-5 review).
+        alive = valid & (wlo <= whi) & (rlo <= rhi) & (rlo <= H1) \
+            & (rhi >= 0)
+        wlo = np.where(alive, wlo, 1).astype(np.float32)
+        whi = np.where(alive, whi, 0).astype(np.float32)
+        rlo = np.where(alive, np.clip(rlo, 0, H1), 0).astype(np.float32)
+        rhi = np.where(alive, np.clip(rhi, 0, H1), 0).astype(np.float32)
         segs = [(quad[0], 0.0), (quad[1], 0.0), (quad[2], 0.0),
                 (quad[3], 1.0), (quad[4], 0.0), (quad[5], 0.0),
                 (wlo, 1.0), (whi, 0.0), (rlo, 0.0), (rhi, 0.0)]

@@ -28,8 +28,11 @@ extern "C" {
 void pcr_set_num_threads(int n)
 {
 #ifdef _OPENMP
-    if (n > 0) omp_set_num_threads(n);
-    else omp_set_num_threads(omp_get_num_procs());
+    // Captured on FIRST call, before any set: restoring to this (not to
+    // omp_get_num_procs()) preserves the user's OMP_NUM_THREADS default
+    // (round-5 review).
+    static const int initial = omp_get_max_threads();
+    omp_set_num_threads(n > 0 ? n : initial);
 #else
     (void)n;
 #endif

@@ -282,6 +282,12 @@ class ReductionInfo:
     # whose field layouts are keyed to the builtin types) and run the
     # generic kind-dispatched scatter, which consumes info.fields as-is
     builtin: bool = True
+    # Unique per REGISTRATION for custom ops (0 for builtins): compiled
+    # update/finalize programs cache under the engine's jit-namespace
+    # key, and two different custom ops would otherwise collide on
+    # (type=Custom, state_floats) and silently reuse each other's
+    # programs (round-5 review).
+    token: int = 0
 
     def init_state(self, shape) -> list[np.ndarray]:
         """Fresh state arrays (numpy, float32) of the given per-field shape,
@@ -291,6 +297,7 @@ class ReductionInfo:
 
 
 _REGISTRY: dict[ReductionType, ReductionInfo] = {}
+_CUSTOM_TOKEN = 0
 
 
 def _register(rtype, scatter_kind, fields, merge_arrays, finalize_arrays,
@@ -429,6 +436,8 @@ def register_custom_reduction(*, state_floats: int, identity,
     op = ReductionOp(ReductionType.Custom, state_floats, tuple(ident),
                      lambda s, v, **kw: s, lambda a, b: a,
                      lambda s: s[0])
+    global _CUSTOM_TOKEN
+    _CUSTOM_TOKEN += 1
     _REGISTRY[ReductionType.Custom] = ReductionInfo(
         type=ReductionType.Custom,
         state_floats=state_floats,
@@ -441,6 +450,7 @@ def register_custom_reduction(*, state_floats: int, identity,
         uses_weight=uses_weight,
         uses_timestamp=uses_timestamp,
         builtin=False,
+        token=_CUSTOM_TOKEN,
     )
 
 

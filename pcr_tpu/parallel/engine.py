@@ -235,7 +235,8 @@ class ShardedTpuEngine:
             cfg.width, cfg.height, cfg.tile_width, cfg.tile_height,
             float(cfg.cell_size_x), float(cfg.cell_size_y),
             float(b.min_x), float(b.min_y), float(b.max_x), float(b.max_y),
-            tuple((spec.glyph.type, info.type, info.state_floats)
+            tuple((spec.glyph.type, info.type, info.state_floats,
+                   info.scatter_kind, info.token)
                   for spec, info in plans),
             self._fast, self._pallas_mode, self.local_h_pad, self.W_state,
         )
@@ -248,7 +249,8 @@ class ShardedTpuEngine:
 
     # -- per-shard planner (borrowed single-chip staging machinery) --------
 
-    def _planner(self, nsub_floor: int = 1, rmax_floor: int = 0):
+    def _planner(self, nsub_floor: int = 1, rmax_floor: int = 0,
+                 flat_C: int | None = None):
         """A TpuEngine facade for ONE sp shard: same staging methods, no
         device state, `_put` kept on host (placement happens when the
         per-shard buffers stack into the mesh array)."""
@@ -257,8 +259,7 @@ class ShardedTpuEngine:
         p.cfg = _LocalCfg(self.cfg, self.local_rows)
         p.H = self.local_rows
         p.W = self.W
-        p.C = getattr(self, "_flat_C_override", None) \
-            or self.local_rows * self.W
+        p.C = flat_C or self.local_rows * self.W
         p.H_pad = self.local_h_pad
         p.W_state = self.W_state
         p.pallas = self._pallas_mode
@@ -290,23 +291,26 @@ class ShardedTpuEngine:
             out.append(parts)
         return out   # out[s][d] -> index array
 
-    def _stack(self, spec_idx, prepare_one, npoints):
+    def _stack(self, spec_idx, prepare_one, npoints,
+               rmax_floor: int = 0, flat_C: int | None = None):
         """Run the single-chip staging per (dp, sp) cell, force a common
         program across cells (nsub floor re-pass when the bucketing
         ladder disagrees), and stack the packed buffers into (dp, sp, L)
         mesh arrays — one _StagedPacked per chunk index.
 
         prepare_one(planner, s, d) -> list[StagedChunk] with host bufs.
+        rmax_floor / flat_C are passed THROUGH (not via instance
+        attributes): hybrid-mode ingest stages concurrently from worker
+        threads, and shared mutable staging state raced (round-5 review).
         """
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def run(nsub_floor):
-            planner = self._planner(nsub_floor, self._rmax_floor_cache)
+            planner = self._planner(nsub_floor, rmax_floor, flat_C)
             return [[prepare_one(planner, s, d) for s in range(self.sp)]
                     for d in range(self.dp)]
 
-        self._rmax_floor_cache = getattr(self, "_rmax_floor_cache", 0)
         cells = run(1)
         # uniform chunk count is guaranteed (same padded lengths); force
         # uniform nsub across cells per chunk index
@@ -564,7 +568,6 @@ class ShardedTpuEngine:
                 # layout only changes when the padded width differs
                 flat = (cells if ws == self.W and col is None
                         else rows.astype(np.int64) * ws + cols)
-                self._flat_C_override = lhp * ws
 
                 def prepare_one(planner, s, d):
                     chunks = planner.prepare_point(
@@ -575,16 +578,13 @@ class ShardedTpuEngine:
                                                         ws),
                                     c.npoints) for c in chunks]
 
-                try:
-                    return self._stack(spec_idx, prepare_one,
-                                       int(np.count_nonzero(valid)))
-                finally:
-                    self._flat_C_override = None
+                return self._stack(spec_idx, prepare_one,
+                                   int(np.count_nonzero(valid)),
+                                   flat_C=lhp * ws)
             routed = self._route(rows, rows, valid)
             lmax = max((len(routed[s][d]) for s in range(self.sp)
                         for d in range(self.dp)), default=0)
             lmax = max(lmax, 1)
-            self._flat_C_override = lhp * ws
 
             def prepare_one(planner, s, d):
                 idx = routed[s][d]
@@ -604,12 +604,9 @@ class ShardedTpuEngine:
                                 _flat_state_builder(c.builder, lhp, ws),
                                 c.npoints) for c in chunks]
 
-            try:
-                staged = self._stack(spec_idx, prepare_one,
-                                     int(np.count_nonzero(valid)))
-            finally:
-                self._flat_C_override = None
-            return staged
+            return self._stack(spec_idx, prepare_one,
+                               int(np.count_nonzero(valid)),
+                               flat_C=lhp * ws)
         # dense legacy step (kept for the library-level sharded_point_step
         # surface; no Pipeline configuration reaches it anymore): rows
         # pre-mapped to the padded-global layout (single-cell targets, so
@@ -647,7 +644,7 @@ class ShardedTpuEngine:
             lmax = max((len(routed[s][d]) for s in range(self.sp)
                         for d in range(self.dp)), default=0)
             lmax = max(lmax, 1)
-            self._rmax_floor_cache = int(r.max()) if n else 0
+            rmax_floor = int(r.max()) if n else 0
 
             def prepare_one(planner, s, d):
                 idx = routed[s][d]
@@ -669,9 +666,8 @@ class ShardedTpuEngine:
                     _pad(np.ones(k, bool), lmax, False),
                     _pad(values[idx], lmax, 0.0))
 
-            staged = self._stack(spec_idx, prepare_one, n)
-            self._rmax_floor_cache = 0
-            return staged
+            return self._stack(spec_idx, prepare_one, n,
+                               rmax_floor=rmax_floor)
         if gp.rotated:
             L = _pad_len(n, self.dp * 1024)
             rmax = int(np.where(valid, gp.r, 0).max()) if n else 0

@@ -342,3 +342,44 @@ def test_progress_and_stats_on_mesh():
     p.set_progress_callback(lambda info: (seen.append(info), True)[1])
     p.ingest(make_cloud(1000, seed=10))
     assert seen and seen[0].points_processed == 1000
+
+
+def test_rotp_shard_boundary_straddler(monkeypatch):
+    """Rotated Gaussians whose home tile starts at/after a shard's end
+    (straddlers routed for their footprint overlap) must stage as dead
+    windows, not index past the rotp bucketing (round-5 review: the native
+    histogram wrote out of bounds — undefined behavior that sometimes
+    segfaults, sometimes silently corrupts, so this test validates the
+    dead-window semantics rather than relying on a crash). Geometry: local H_pad == H/shards,
+    tile rows coinciding with shard boundaries, centers within r below
+    the boundary."""
+    monkeypatch.setenv("PCR_PALLAS", "interpret")
+    bbox = pcr.BBox()
+    bbox.min_x, bbox.min_y, bbox.max_x, bbox.max_y = 0.0, 0.0, 64.0, 1024.0
+    gc = pcr.GridConfig()
+    gc.bounds = bbox
+    gc.cell_size_x, gc.cell_size_y = 1.0, -1.0
+    gc.tile_width = gc.tile_height = 32
+    gc.crs = pcr.CRS.from_epsg(3857)
+    gc.compute_dimensions()
+    assert gc.total_tiles() > 1
+
+    rng = np.random.default_rng(31)
+    n = 400
+    c = pcr.PointCloud.create(n)
+    c.set_x_array(rng.uniform(0, 64, n))
+    # concentrate centers just below shard boundaries (global rows
+    # 128*k +- 4) so footprints straddle into the shard above
+    k = rng.integers(1, 8, n)
+    rows = k * 128 + rng.uniform(0.2, 4.0, n)
+    c.set_y_array(1024.0 - rows)
+    c.add_channel("v", pcr.DataType.Float32)
+    c.set_channel_array_f32("v", rng.normal(0, 1, n).astype(np.float32))
+
+    spec = pcr.gaussian_splat_spec("v", default_sigma_x=1.2,
+                                   default_sigma_y=0.7,
+                                   default_rotation=0.5,
+                                   max_radius_cells=4.0)
+    want = run_pipeline(cpu_config(gc, [spec]), [c])
+    got = run_pipeline(mesh_config(gc, [spec]), [c])
+    assert_bands_match(got, want, 1, atol=2e-5)

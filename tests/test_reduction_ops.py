@@ -243,3 +243,47 @@ class TestCustomReduction:
         finally:
             unregister_reduction(RT.Custom)
         assert pcr.get_reduction_info(RT.Custom) is None
+
+    def test_reregistration_does_not_reuse_compiled_programs(self):
+        """Two different custom ops with identical (type, state_floats)
+        must not share cached compiled programs (round-5 review: the
+        jit-namespace key now carries a per-registration token)."""
+        from pcr_tpu.ops.reduction import (
+            register_custom_reduction, unregister_reduction)
+        from conftest import make_grid_config
+        gc = make_grid_config(w=8.0, h=8.0)
+        c = pcr.PointCloud.create(4)
+        c.set_x_array(np.array([1.5, 1.5, 5.5, 6.5]))
+        c.set_y_array(np.array([1.5, 1.5, 5.5, 6.5]))
+        c.add_channel("v", pcr.DataType.Float32)
+        c.set_channel_array_f32("v", np.array([2, 4, 8, 16], np.float32))
+
+        def run():
+            cfg = pcr.PipelineConfig(
+                grid=gc,
+                reductions=[pcr.ReductionSpec(value_channel="v",
+                                              type=RT.Custom)],
+                exec_mode=pcr.ExecutionMode.GPU)
+            p = pcr.Pipeline.create(cfg)
+            p.ingest(c)
+            p.finalize()
+            return p.result().band_array(0)
+
+        try:
+            register_custom_reduction(
+                state_floats=1, identity=(0.0,), scatter_kind="sum",
+                fields=lambda v, w, t: [v],
+                merge_arrays=lambda a, b: [a[0] + b[0]],
+                finalize_arrays=lambda f: f[0])
+            a = run()
+            unregister_reduction(RT.Custom)
+            register_custom_reduction(
+                state_floats=1, identity=(0.0,), scatter_kind="sum",
+                fields=lambda v, w, t: [v * 10.0],
+                merge_arrays=lambda a, b: [a[0] + b[0]],
+                finalize_arrays=lambda f: f[0] + 100.0)
+            b = run()
+        finally:
+            unregister_reduction(RT.Custom)
+        assert a[6, 1] == 6.0          # op A: 2 + 4
+        assert b[6, 1] == 160.0        # op B: (2+4)*10 + 100 — not A's
